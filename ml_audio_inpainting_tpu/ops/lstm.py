@@ -1,0 +1,100 @@
+"""MXU-friendly (Bi)LSTM as ``lax.scan`` with hoisted input projections.
+
+The reference's bottleneck is ``nn.LSTM(input_size=16448, hidden=128,
+num_layers=3, bidirectional=True)`` running under cuDNN
+(``models/CNNBLSTM/model.py:46-47``).  On TPU the recurrence is a sequential
+``lax.scan``, so the design goal is to keep the MXU busy inside it
+(SURVEY.md §7 "BiLSTM performance"):
+
+* the input projection ``x @ W_ih`` for *all* timesteps is hoisted out of the
+  scan into one large ``(B*T, D) x (D, 4H)`` matmul -- this is where nearly
+  all FLOPs are for D=16448 >> H=128, and it tiles perfectly onto the MXU;
+* the scan body only computes the small recurrent matmul ``h @ W_hh``
+  (``(B, H) x (H, 4H)``) plus elementwise gates (VPU);
+* the backward direction reuses the same hoisted projection on the reversed
+  sequence, and both directions run in one scan over stacked carries.
+
+Gate ordering follows torch (i, f, g, o) so reference checkpoints can be
+ported weight-for-weight.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+__all__ = ["lstm_scan", "BiLSTM"]
+
+
+def lstm_scan(
+    xw: jnp.ndarray,
+    w_hh: jnp.ndarray,
+    h0: jnp.ndarray,
+    c0: jnp.ndarray,
+    reverse: bool = False,
+) -> jnp.ndarray:
+    """Run the LSTM recurrence given pre-projected inputs.
+
+    Args:
+      xw: ``(B, T, 4H)`` -- inputs already through ``x @ W_ih + b``.
+      w_hh: ``(H, 4H)`` recurrent weights.
+      h0, c0: ``(B, H)`` initial state.
+      reverse: process the sequence right-to-left (for the backward
+        direction of a BiLSTM); output is re-reversed to input order.
+
+    Returns:
+      ``(B, T, H)`` hidden states.
+    """
+    hidden = w_hh.shape[0]
+
+    def step(carry, x_t):
+        h, c = carry
+        gates = x_t + h @ w_hh
+        i, f, g, o = jnp.split(gates, 4, axis=-1)
+        i = jax.nn.sigmoid(i)
+        f = jax.nn.sigmoid(f)
+        g = jnp.tanh(g)
+        o = jax.nn.sigmoid(o)
+        c_new = f * c + i * g
+        h_new = o * jnp.tanh(c_new)
+        return (h_new, c_new), h_new
+
+    xs = jnp.swapaxes(xw, 0, 1)  # (T, B, 4H): scan over time
+    (_, _), hs = jax.lax.scan(step, (h0, c0), xs, reverse=reverse)
+    del hidden
+    return jnp.swapaxes(hs, 0, 1)
+
+
+class BiLSTM(nn.Module):
+    """Stacked bidirectional LSTM, layout-matched to ``torch.nn.LSTM``.
+
+    Output feature dim is ``2 * hidden_dim`` (forward/backward concat), as
+    consumed by the reference's projection layer (``model.py:50``).
+    """
+
+    hidden_dim: int
+    num_layers: int = 1
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        B = x.shape[0]
+        H = self.hidden_dim
+        init = nn.initializers.uniform(scale=2.0 / jnp.sqrt(H))  # ~torch U(-1/sqrt H, 1/sqrt H)
+
+        for layer in range(self.num_layers):
+            outs = []
+            for direction in ("fwd", "bwd"):
+                d_in = x.shape[-1]
+                w_ih = self.param(f"l{layer}_{direction}_w_ih", init, (d_in, 4 * H))
+                w_hh = self.param(f"l{layer}_{direction}_w_hh", init, (H, 4 * H))
+                b = self.param(f"l{layer}_{direction}_b", nn.initializers.zeros, (4 * H,))
+                # Hoisted input projection: one big MXU matmul over all steps.
+                xw = x @ w_ih + b
+                h0 = jnp.zeros((B, H), x.dtype)
+                c0 = jnp.zeros((B, H), x.dtype)
+                outs.append(lstm_scan(xw, w_hh, h0, c0, reverse=direction == "bwd"))
+            x = jnp.concatenate(outs, axis=-1)  # (B, T, 2H)
+        return x

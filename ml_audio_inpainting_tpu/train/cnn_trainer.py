@@ -1,0 +1,128 @@
+"""CNN+BiLSTM training: fused feature-extraction + forward/backward step.
+
+The reference trains this model with a host-side DataLoader and a per-batch
+L1 step (``models/CNNBLSTM/train.py:78-121``).  Here one jitted function
+takes raw waveforms and a PRNG key, samples gaps, computes both STFTs,
+runs the model and the optimizer update -- a single XLA program per step
+with no host DSP.  Data parallelism comes from sharding the waveform batch
+over the mesh (see ``parallel/``).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax.training import train_state
+
+from ml_audio_inpainting_tpu.models.cnn_blstm import StackedBLSTMCNN
+from ml_audio_inpainting_tpu.train import features
+from ml_audio_inpainting_tpu.train.losses import cnn_gap_l1_loss
+from ml_audio_inpainting_tpu.utils.config import Config
+
+__all__ = [
+    "CNNTrainState",
+    "build_model",
+    "create_cnn_state",
+    "make_cnn_train_step",
+    "make_cnn_eval_step",
+]
+
+
+class CNNTrainState(train_state.TrainState):
+    batch_stats: Any = None
+
+
+def build_model(cfg: Config) -> StackedBLSTMCNN:
+    m = cfg.model.cnn_blstm
+    return StackedBLSTMCNN(
+        in_channels=m.in_channels,
+        num_lstm_layers=m.num_lstm_layers,
+        lstm_hidden_dim=m.lstm_hidden_dim,
+        freq_bins=cfg.data.spectrogram.freq_bins,
+        enc_filters=tuple(m.enc_filters),
+        dec_filters=tuple(m.dec_filters),
+    )
+
+
+def create_cnn_state(cfg: Config, rng: jax.Array) -> CNNTrainState:
+    """Initialize model params + Adam state (reference lr 1e-4,
+    ``models/CNNBLSTM/train.py:72``)."""
+    model = build_model(cfg)
+    spec = cfg.data.spectrogram
+    dummy = jnp.zeros((1, spec.freq_bins, spec.frames(cfg.data.max_samples)))
+    variables = model.init(rng, dummy, train=False)
+    lr = cfg.training.starter_learning_rate
+    if cfg.training.lr_decay != 1.0:
+        tx = optax.adam(optax.exponential_decay(lr, 1, cfg.training.lr_decay))
+    else:
+        tx = optax.adam(lr)
+    return CNNTrainState.create(
+        apply_fn=model.apply,
+        params=variables["params"],
+        batch_stats=variables.get("batch_stats"),
+        tx=tx,
+    )
+
+
+def _feature_fn(cfg: Config):
+    def fn(audio, key):
+        return features.cnn_features(
+            audio,
+            key,
+            cfg.data.spectrogram,
+            gap_len_s=cfg.data.gap_len_s,
+            sample_rate=cfg.data.sample_rate,
+            n_samples=cfg.data.max_samples,
+            gaps_per_audio=cfg.data.gaps_per_audio,
+        )
+
+    return fn
+
+
+def make_cnn_train_step(
+    cfg: Config,
+) -> Callable[[CNNTrainState, jnp.ndarray, jax.Array], Tuple[CNNTrainState, Dict]]:
+    """Build the jitted train step: gaps -> STFTs -> forward -> L1 -> Adam."""
+    feat = _feature_fn(cfg)
+
+    @jax.jit
+    def step(state: CNNTrainState, audio: jnp.ndarray, key: jax.Array):
+        batch = feat(audio, key)
+
+        def loss_fn(params):
+            pred, updates = state.apply_fn(
+                {"params": params, "batch_stats": state.batch_stats},
+                batch["log_gap"],
+                train=True,
+                mutable=["batch_stats"],
+            )
+            loss = cnn_gap_l1_loss(pred, batch["target_mag"], batch["gap_mask"])
+            return loss, updates
+
+        (loss, updates), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+        new_state = state.apply_gradients(grads=grads)
+        new_state = new_state.replace(batch_stats=updates["batch_stats"])
+        return new_state, {"loss": loss}
+
+    return step
+
+
+def make_cnn_eval_step(cfg: Config) -> Callable[[CNNTrainState, jnp.ndarray, jax.Array], Dict]:
+    """Jitted validation step (``models/CNNBLSTM/train.py:128-150``)."""
+    feat = _feature_fn(cfg)
+
+    @jax.jit
+    def step(state: CNNTrainState, audio: jnp.ndarray, key: jax.Array):
+        batch = feat(audio, key)
+        pred = state.apply_fn(
+            {"params": state.params, "batch_stats": state.batch_stats},
+            batch["log_gap"],
+            train=False,
+        )
+        loss = cnn_gap_l1_loss(pred, batch["target_mag"], batch["gap_mask"])
+        return {"loss": loss}
+
+    return step

@@ -1,0 +1,144 @@
+"""On-device feature extraction: waveform batches -> model batches.
+
+This is where the reference's DataLoader-worker DSP
+(``models/GAN/dataset.py:63-166``, ``models/CNNBLSTM/dataset.py:74-121``)
+lands in the TPU design: a pure jittable function from ``(B, S)`` waveforms
+and a PRNG key to spectrograms/masks, executed on device as part of the
+train step.  Sampling G gap variants per clip (the CNNBLSTM
+``gaps_per_audio=25`` recipe) is a ``vmap`` over keys -- the audio is neither
+re-read nor re-FFT'd per variant: the clean STFT is computed once per clip
+and broadcast.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ml_audio_inpainting_tpu.ops import gaps as gap_ops
+from ml_audio_inpainting_tpu.ops import masking
+from ml_audio_inpainting_tpu.ops.stft import stft
+from ml_audio_inpainting_tpu.utils.config import SpectrogramConfig
+
+__all__ = ["gan_features", "cnn_features"]
+
+
+def _one_gap(key, n_samples: int, gap_len_s: float, sample_rate: int):
+    mask, (s, e) = gap_ops.random_gap_mask(key, n_samples, gap_len_s, sample_rate)
+    return mask, s, e
+
+
+@functools.partial(
+    jax.jit, static_argnames=("spec", "gap_len_s", "sample_rate", "n_samples")
+)
+def gan_features(
+    audio: jnp.ndarray,
+    key: jax.Array,
+    spec: SpectrogramConfig,
+    gap_len_s: float = 0.2,
+    sample_rate: int = 16000,
+    n_samples: int = 80000,
+) -> Dict[str, jnp.ndarray]:
+    """GAN-profile batch features (reference ``models/GAN/dataset.py:63-166``).
+
+    Returns (all ``(B, F, N)``):
+      original_magnitude  log1p(|STFT(clean)|)
+      impaired_magnitude  log1p(|STFT(clean * mask)|)
+      mask                frame mask, 1 = valid / 0 = hole (floor/ceil rule)
+      original_phase      angle(STFT(clean))
+    """
+    B = audio.shape[0]
+    keys = jax.random.split(key, B)
+    masks, starts, ends = jax.vmap(
+        lambda k: _one_gap(k, n_samples, gap_len_s, sample_rate)
+    )(keys)
+
+    spec_clean = stft(
+        audio, n_fft=spec.n_fft, hop_length=spec.hop_length, win_length=spec.win_length
+    )
+    spec_gap = stft(
+        audio * masks,
+        n_fft=spec.n_fft,
+        hop_length=spec.hop_length,
+        win_length=spec.win_length,
+    )
+    n_freq, n_time = spec_clean.shape[-2:]
+    frame_masks = jax.vmap(
+        lambda s, e: gap_ops.frame_mask_from_interval(
+            s, e, n_freq, n_time, spec.hop_length
+        )
+    )(starts, ends)
+
+    return {
+        "original_magnitude": masking.log1p_norm(jnp.abs(spec_clean)),
+        "impaired_magnitude": masking.log1p_norm(jnp.abs(spec_gap)),
+        "mask": frame_masks,
+        "original_phase": jnp.angle(spec_clean),
+    }
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("spec", "gap_len_s", "sample_rate", "n_samples", "gaps_per_audio"),
+)
+def cnn_features(
+    audio: jnp.ndarray,
+    key: jax.Array,
+    spec: SpectrogramConfig,
+    gap_len_s: float = 0.2,
+    sample_rate: int = 16000,
+    n_samples: int = 80000,
+    gaps_per_audio: int = 1,
+) -> Dict[str, jnp.ndarray]:
+    """CNNBLSTM-profile batch features (``models/CNNBLSTM/dataset.py:74-121``).
+
+    Each of B clips is expanded into G independently-gapped variants
+    (``gaps_per_audio``), flattened to a ``(B*G, ...)`` batch.  Returns:
+      log_gap      (B*G, F, N)  log10(|STFT(gapped)| + 1e-9)
+      gap_mask     (B*G, F, N)  1 = gap / 0 = valid (CNNBLSTM convention;
+                                frame rule: floor at both ends, matching
+                                ``librosa.time_to_frames`` at dataset.py:116-117)
+      target_mag   (B*G, F, N)  |STFT(clean)| (linear domain)
+      target_phase (B*G, F, N)  angle(STFT(clean))
+    """
+    B = audio.shape[0]
+    G = gaps_per_audio
+    keys = jax.random.split(key, B * G).reshape(B, G, -1)
+
+    # Clean STFT once per clip, broadcast to all gap variants.
+    spec_clean = stft(
+        audio, n_fft=spec.n_fft, hop_length=spec.hop_length, win_length=spec.win_length
+    )
+    n_freq, n_time = spec_clean.shape[-2:]
+
+    def per_variant(clip, k):
+        mask, s, e = _one_gap(k, n_samples, gap_len_s, sample_rate)
+        spec_gap = stft(
+            clip * mask,
+            n_fft=spec.n_fft,
+            hop_length=spec.hop_length,
+            win_length=spec.win_length,
+        )
+        # CNNBLSTM frame rule: floor(start/hop) .. floor(end/hop), 1 = gap.
+        t = jnp.arange(n_time)
+        hole = (t >= s // spec.hop_length) & (t < e // spec.hop_length)
+        gmask = jnp.broadcast_to(
+            jnp.where(hole, 1.0, 0.0)[None, :], (n_freq, n_time)
+        )
+        return masking.log10_norm(jnp.abs(spec_gap)), gmask
+
+    log_gap, gmask = jax.vmap(
+        lambda clip, ks: jax.vmap(lambda k: per_variant(clip, k))(ks)
+    )(audio, keys)
+
+    target_mag = jnp.repeat(jnp.abs(spec_clean), G, axis=0)
+    target_phase = jnp.repeat(jnp.angle(spec_clean), G, axis=0)
+    return {
+        "log_gap": log_gap.reshape(B * G, n_freq, n_time),
+        "gap_mask": gmask.reshape(B * G, n_freq, n_time),
+        "target_mag": target_mag,
+        "target_phase": target_phase,
+    }
