@@ -1,0 +1,263 @@
+"""Adversarial training: D-step + G-step as one fused jitted program.
+
+Reference driver: ``models/GAN/train.py:326-378`` -- per batch, (1) a
+discriminator BCE step on real vs detached-fake, (2) a generator step on the
+6-term objective.  Differences by design:
+
+* Both optimizer updates run inside a single XLA program per batch, with
+  feature extraction (gap sampling + STFT) fused in front (see
+  ``train/features.py``).
+* The reference's G-step reuses the fake spectrogram computed under
+  ``torch.no_grad()`` (``train.py:349-350,368``), which silences all
+  generator gradients -- a defect, not a contract.  Here the G-step
+  re-runs the generator under autodiff, the standard (and intended)
+  formulation.
+* Spectral-norm power iterations and BatchNorm statistics are functional
+  state threaded through the step (``batch_stats`` collections).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax.training import train_state
+
+from ml_audio_inpainting_tpu.models.discriminator import Discriminator
+from ml_audio_inpainting_tpu.models.pconv_unet import PConvUNet
+from ml_audio_inpainting_tpu.models.vgg import (
+    VGG19Features,
+    vgg19_params,
+    vgg_perceptual_style_losses,
+)
+from ml_audio_inpainting_tpu.train import features
+from ml_audio_inpainting_tpu.train.losses import discriminator_loss, generator_losses
+from ml_audio_inpainting_tpu.utils.config import Config
+
+__all__ = [
+    "GANState",
+    "build_generator",
+    "build_discriminator",
+    "create_gan_states",
+    "make_gan_train_step",
+    "make_gan_eval_step",
+]
+
+
+class GANState(train_state.TrainState):
+    batch_stats: Any = None
+
+
+def build_generator(cfg: Config) -> PConvUNet:
+    g = cfg.model.generator
+    return PConvUNet(
+        enc_layer_cfg=tuple(tuple(l) for l in g.enc_layer_cfg),
+        dec_layer_cfg=tuple(tuple(l) for l in g.dec_layer_cfg),
+        final_interim_ch=g.final_interim_ch,
+        final_kernel=g.final_kernel,
+        output_channels=g.output_channels,
+    )
+
+
+def build_discriminator(cfg: Config) -> Discriminator:
+    d = cfg.model.discriminator
+    return Discriminator(
+        layer_cfg=tuple(tuple(l) for l in d.layer_cfg),
+        kernel_size=d.kernel_size,
+        use_spectral_norm=d.use_spectral_norm,
+    )
+
+
+def create_gan_states(cfg: Config, rng: jax.Array) -> Tuple[GANState, GANState]:
+    """Init G and D with their Adam optimizers (config.yaml:34-37:
+    lr 2e-4, betas (0.5, 0.999))."""
+    spec = cfg.data.spectrogram
+    F, T = spec.freq_bins, spec.frames(cfg.data.max_samples)
+    g_rng, d_rng = jax.random.split(rng)
+
+    gen = build_generator(cfg)
+    dummy_x = jnp.zeros((1, F, T))
+    dummy_m = jnp.ones((1, F, T))
+    g_vars = gen.init(g_rng, dummy_x, dummy_m, train=False)
+    t = cfg.training
+    g_state = GANState.create(
+        apply_fn=gen.apply,
+        params=g_vars["params"],
+        batch_stats=g_vars.get("batch_stats"),
+        tx=optax.adam(t.g_lr, b1=t.b1, b2=t.b2),
+    )
+
+    disc = build_discriminator(cfg)
+    d_vars = disc.init(d_rng, dummy_x, train=False)
+    d_state = GANState.create(
+        apply_fn=disc.apply,
+        params=d_vars["params"],
+        batch_stats=d_vars.get("batch_stats"),
+        tx=optax.adam(t.d_lr, b1=t.b1, b2=t.b2),
+    )
+    return g_state, d_state
+
+
+def _gan_feature_fn(cfg: Config):
+    def fn(audio, key):
+        return features.gan_features(
+            audio,
+            key,
+            cfg.data.spectrogram,
+            gap_len_s=cfg.data.gap_len_s,
+            sample_rate=cfg.data.sample_rate,
+            n_samples=cfg.data.max_samples,
+        )
+
+    return fn
+
+
+def make_gan_train_step(
+    cfg: Config,
+    vgg: Optional[Tuple[VGG19Features, Any]] = None,
+) -> Callable:
+    """Build the fused two-optimizer step.
+
+    ``vgg``: ``(model, variables)`` from :func:`vgg19_params`; pass None to
+    drop the VGG terms (reference behavior when both lambdas are 0,
+    ``train.py:227-228``).
+    """
+    feat = _gan_feature_fn(cfg)
+    t = cfg.training
+    lambdas = {
+        "lambda_adv": t.lambda_adv,
+        "lambda_l1_valid": t.lambda_l1_valid,
+        "lambda_l1_hole": t.lambda_l1_hole,
+        "lambda_mag_weighted": t.lambda_mag_weighted,
+        "lambda_vgg_perceptual": t.lambda_vgg_perceptual,
+        "lambda_vgg_style": t.lambda_vgg_style,
+    }
+    use_vgg = vgg is not None and (t.lambda_vgg_perceptual > 0 or t.lambda_vgg_style > 0)
+    if use_vgg:
+        vgg_model, vgg_vars = vgg
+
+    @jax.jit
+    def step(g_state: GANState, d_state: GANState, audio: jnp.ndarray, key: jax.Array):
+        batch = feat(audio, key)
+        orig = batch["original_magnitude"]
+        impaired = batch["impaired_magnitude"]
+        mask = batch["mask"]
+
+        # --- Discriminator step (train.py:347-363) ---
+        fake_detached, g_updates = g_state.apply_fn(
+            {"params": g_state.params, "batch_stats": g_state.batch_stats},
+            impaired,
+            mask,
+            train=True,
+            mutable=["batch_stats"],
+        )
+        fake_detached = jax.lax.stop_gradient(fake_detached)
+
+        def d_loss_fn(d_params):
+            d_real, upd1 = d_state.apply_fn(
+                {"params": d_params, "batch_stats": d_state.batch_stats},
+                orig,
+                train=True,
+                mutable=["batch_stats"],
+            )
+            d_fake, upd2 = d_state.apply_fn(
+                {"params": d_params, "batch_stats": upd1["batch_stats"]},
+                fake_detached,
+                train=True,
+                mutable=["batch_stats"],
+            )
+            losses = discriminator_loss(d_real, d_fake)
+            return losses["d_total"], (upd2, losses)
+
+        (d_total, (d_upd, d_losses)), d_grads = jax.value_and_grad(
+            d_loss_fn, has_aux=True
+        )(d_state.params)
+        d_state = d_state.apply_gradients(grads=d_grads)
+        d_state = d_state.replace(batch_stats=d_upd["batch_stats"])
+
+        # --- Generator step (train.py:365-378, with the no_grad defect fixed) ---
+        def g_loss_fn(g_params):
+            fake, g_upd = g_state.apply_fn(
+                {"params": g_params, "batch_stats": g_state.batch_stats},
+                impaired,
+                mask,
+                train=True,
+                mutable=["batch_stats"],
+            )
+            d_fake_logits = d_state.apply_fn(
+                {"params": d_state.params, "batch_stats": d_state.batch_stats},
+                fake,
+                train=False,
+            )
+            vgg_losses = (
+                vgg_perceptual_style_losses(vgg_model, vgg_vars, fake, orig)
+                if use_vgg
+                else None
+            )
+            losses = generator_losses(fake, orig, mask, d_fake_logits, lambdas, vgg_losses)
+            return losses["g_total"], (g_upd, losses)
+
+        (g_total, (g_upd, g_losses)), g_grads = jax.value_and_grad(
+            g_loss_fn, has_aux=True
+        )(g_state.params)
+        g_state = g_state.apply_gradients(grads=g_grads)
+        g_state = g_state.replace(batch_stats=g_upd["batch_stats"])
+
+        metrics = {**{k: v for k, v in g_losses.items()}, **d_losses}
+        return g_state, d_state, metrics
+
+    return step
+
+
+def make_gan_eval_step(cfg: Config, vgg=None) -> Callable:
+    """Validation pass: same losses, no updates (``train.py:530-599``)."""
+    feat = _gan_feature_fn(cfg)
+    t = cfg.training
+    lambdas = {
+        "lambda_adv": t.lambda_adv,
+        "lambda_l1_valid": t.lambda_l1_valid,
+        "lambda_l1_hole": t.lambda_l1_hole,
+        "lambda_mag_weighted": t.lambda_mag_weighted,
+        "lambda_vgg_perceptual": t.lambda_vgg_perceptual,
+        "lambda_vgg_style": t.lambda_vgg_style,
+    }
+    use_vgg = vgg is not None and (t.lambda_vgg_perceptual > 0 or t.lambda_vgg_style > 0)
+    if use_vgg:
+        vgg_model, vgg_vars = vgg
+
+    @jax.jit
+    def step(g_state: GANState, d_state: GANState, audio: jnp.ndarray, key: jax.Array):
+        batch = feat(audio, key)
+        orig, impaired, mask = (
+            batch["original_magnitude"],
+            batch["impaired_magnitude"],
+            batch["mask"],
+        )
+        fake = g_state.apply_fn(
+            {"params": g_state.params, "batch_stats": g_state.batch_stats},
+            impaired,
+            mask,
+            train=False,
+        )
+        d_fake = d_state.apply_fn(
+            {"params": d_state.params, "batch_stats": d_state.batch_stats},
+            fake,
+            train=False,
+        )
+        d_real = d_state.apply_fn(
+            {"params": d_state.params, "batch_stats": d_state.batch_stats},
+            orig,
+            train=False,
+        )
+        vgg_losses = (
+            vgg_perceptual_style_losses(vgg_model, vgg_vars, fake, orig)
+            if use_vgg
+            else None
+        )
+        g_losses = generator_losses(fake, orig, mask, d_fake, lambdas, vgg_losses)
+        d_losses = discriminator_loss(d_real, d_fake)
+        return {**g_losses, **d_losses}
+
+    return step

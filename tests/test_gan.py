@@ -1,0 +1,188 @@
+"""GAN family tests: PConv renormalization semantics, U-Net shape/mask
+plumbing, spectral-norm discriminator, VGG preprocessing, and a short
+adversarial training run."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ml_audio_inpainting_tpu.models.discriminator import Discriminator
+from ml_audio_inpainting_tpu.models.pconv_unet import PartialConv, PConvUNet
+from ml_audio_inpainting_tpu.models.vgg import (
+    VGG19Features,
+    preprocess_for_vgg,
+    vgg19_params,
+    vgg_perceptual_style_losses,
+)
+from ml_audio_inpainting_tpu.train.gan_trainer import (
+    create_gan_states,
+    make_gan_eval_step,
+    make_gan_train_step,
+)
+from ml_audio_inpainting_tpu.utils.config import Config, SpectrogramConfig
+
+
+def tiny_gan_config() -> Config:
+    cfg = Config()
+    cfg.data.spectrogram = SpectrogramConfig(n_fft=512, hop_length=128, win_length=512)
+    cfg.data.max_len_s = 1.0
+    cfg.data.gap_len_s = 0.1
+    cfg.model.generator.enc_layer_cfg = [(8, 7, 2), (16, 5, 2), (16, 3, 2)]
+    cfg.model.generator.dec_layer_cfg = [(16, 3, 1), (8, 3, 1)]
+    cfg.model.generator.final_interim_ch = 8
+    cfg.model.discriminator.layer_cfg = [(8, 2), (16, 2)]
+    cfg.training.lambda_vgg_perceptual = 0.0
+    cfg.training.lambda_vgg_style = 0.0
+    return cfg
+
+
+class TestPartialConv:
+    def test_full_mask_is_plain_conv(self):
+        """With an all-ones mask the renormalization is the identity
+        (window/window) and PConv == Conv (networks.py:87-92)."""
+        pc = PartialConv(features=4, kernel=3, stride=1, use_bias=False)
+        x = jax.random.normal(jax.random.PRNGKey(0), (1, 8, 8, 2))
+        mask = jnp.ones((1, 8, 8, 1))
+        params = pc.init(jax.random.PRNGKey(1), x, mask, 2 * mask)
+        out, new_mask = pc.apply(params, x, mask, 2 * mask)
+        # interior pixels: mask conv is saturated -> ratio == 1 -> plain conv
+        kernel = params["params"]["conv"]["kernel"]
+        ref = jax.lax.conv_general_dilated(
+            x, kernel, (1, 1), [(1, 1), (1, 1)], dimension_numbers=("NHWC", "HWIO", "NHWC")
+        )
+        np.testing.assert_allclose(
+            np.asarray(out[:, 1:-1, 1:-1]), np.asarray(ref[:, 1:-1, 1:-1]), rtol=2e-4, atol=1e-5
+        )
+        assert np.all(np.asarray(new_mask) == 1.0)
+
+    def test_hole_renormalization(self):
+        """Inside a hole larger than the kernel the output is bias-only and
+        the updated mask stays 0; at the hole edge the mask becomes valid."""
+        pc = PartialConv(features=1, kernel=3, stride=1, use_bias=True)
+        x = jnp.ones((1, 12, 12, 1))
+        mask = jnp.ones((1, 12, 12, 1)).at[:, 4:8, 4:8, :].set(0.0)
+        params = pc.init(jax.random.PRNGKey(0), x, mask, mask)
+        out, new_mask = pc.apply(params, x, mask, mask)
+        nm = np.asarray(new_mask[0, :, :, 0])
+        assert nm[5, 5] == 0.0 and nm[6, 6] == 0.0  # deep inside hole
+        assert nm[4, 4] > 0.0  # receptive field touches valid pixels
+        assert nm[0, 0] == 1.0
+
+    def test_masked_equals_unmasked_on_valid_region(self):
+        """Renormalized conv over a masked input equals the conv over the
+        valid pixels only -- the defining PConv property."""
+        pc = PartialConv(features=3, kernel=3, stride=1, use_bias=False)
+        key = jax.random.PRNGKey(2)
+        x = jax.random.normal(key, (1, 10, 10, 1))
+        mask = jnp.ones((1, 10, 10, 1)).at[:, :, 5:, :].set(0.0)
+        params = pc.init(jax.random.PRNGKey(3), x, mask, mask)
+        out_masked, _ = pc.apply(params, x, mask, mask)
+        out_full, _ = pc.apply(params, x, jnp.ones_like(mask), jnp.ones_like(mask))
+        # Columns 0..2 have fully-valid receptive fields -> identical output.
+        np.testing.assert_allclose(
+            np.asarray(out_masked[:, 2:-2, :3]), np.asarray(out_full[:, 2:-2, :3]),
+            rtol=2e-4, atol=1e-5,
+        )
+
+
+class TestPConvUNet:
+    def test_full_profile_shape(self):
+        """Production contract: (B, 257, 626) in/out, values in [-1, 1]."""
+        net = PConvUNet()
+        x = jnp.zeros((1, 257, 626))
+        m = jnp.ones((1, 257, 626))
+        variables = net.init(jax.random.PRNGKey(0), x, m, train=False)
+        y = net.apply(variables, x, m, train=False)
+        assert y.shape == (1, 257, 626)
+        assert float(jnp.max(jnp.abs(y))) <= 1.0
+
+    def test_small_net_mask_sensitivity(self):
+        """Output inside the hole must depend on the mask."""
+        net = PConvUNet(
+            enc_layer_cfg=((8, 7, 2), (16, 5, 2)),
+            dec_layer_cfg=((8, 3, 1),),
+            final_interim_ch=8,
+        )
+        x = jax.random.normal(jax.random.PRNGKey(0), (1, 64, 64))
+        m_full = jnp.ones((1, 64, 64))
+        m_hole = m_full.at[:, :, 20:30].set(0.0)
+        variables = net.init(jax.random.PRNGKey(1), x, m_full, train=False)
+        y_full = net.apply(variables, x, m_full, train=False)
+        y_hole = net.apply(variables, x * m_hole, m_hole, train=False)
+        assert not np.allclose(np.asarray(y_full), np.asarray(y_hole))
+
+
+class TestDiscriminator:
+    def test_patch_output_and_spectral_norm_state(self):
+        d = Discriminator()
+        x = jnp.zeros((2, 257, 626))
+        variables = d.init(jax.random.PRNGKey(0), x, train=False)
+        y = d.apply(variables, x, train=False)
+        assert y.ndim == 4 and y.shape[0] == 2 and y.shape[-1] == 1
+        assert "batch_stats" in variables  # power-iteration vectors
+
+    def test_spectral_norm_bounds_lipschitz(self):
+        """After normalization, scaling weights by 10x must NOT scale the
+        output 10x (spectral norm divides it out)."""
+        d = Discriminator(layer_cfg=((8, 2),), kernel_size=4)
+        x = jax.random.normal(jax.random.PRNGKey(0), (1, 32, 32))
+        variables = d.init(jax.random.PRNGKey(1), x, train=False)
+        y1 = d.apply(variables, x, train=False)
+        scaled = jax.tree_util.tree_map(lambda p: p * 10.0, variables["params"])
+        y2 = d.apply({"params": scaled, "batch_stats": variables["batch_stats"]}, x, train=False)
+        ratio = float(jnp.mean(jnp.abs(y2)) / (jnp.mean(jnp.abs(y1)) + 1e-8))
+        assert ratio < 5.0  # far below the unnormalized 10x (or 100x for 2 layers)
+
+
+class TestVGG:
+    def test_feature_shapes(self):
+        model, variables = vgg19_params(capture_layers=(0, 2, 5))
+        x = jnp.zeros((1, 64, 64, 3))
+        feats = model.apply(variables, x)
+        assert feats[0].shape == (1, 64, 64, 64)
+        assert feats[5].shape == (1, 32, 32, 128)
+
+    def test_preprocess_resize_crop(self):
+        x = jnp.zeros((2, 257, 626))
+        out = preprocess_for_vgg(x, is_generated=True)
+        assert out.shape == (2, 224, 224, 3)
+
+    def test_losses_zero_for_identical(self):
+        model, variables = vgg19_params(capture_layers=(0, 2))
+        x = jnp.abs(jax.random.normal(jax.random.PRNGKey(0), (1, 64, 64)))
+        p, s = vgg_perceptual_style_losses(
+            model, variables, x, x, perceptual_layers=(2,), style_layers=(0,)
+        )
+        # generated path maps [-1,1]->[0,1]; target path max-normalizes --
+        # identical inputs do NOT imply zero loss, but self-vs-self through
+        # the same path must:
+        from ml_audio_inpainting_tpu.models.vgg import preprocess_for_vgg as pp
+
+        f1 = model.apply(variables, pp(x, True))
+        f2 = model.apply(variables, pp(x, True))
+        np.testing.assert_allclose(np.asarray(f1[2]), np.asarray(f2[2]), rtol=1e-6)
+        assert np.isfinite(float(p)) and np.isfinite(float(s))
+
+
+class TestGANTraining:
+    def test_adversarial_step_runs_and_learns(self, speech_like):
+        cfg = tiny_gan_config()
+        g_state, d_state = create_gan_states(cfg, jax.random.PRNGKey(0))
+        step = make_gan_train_step(cfg)
+        audio = jnp.asarray(speech_like[:16000])[None, :]
+        g_losses = []
+        for i in range(12):
+            g_state, d_state, metrics = step(g_state, d_state, audio, jax.random.PRNGKey(i))
+            g_losses.append(float(metrics["g_total"]))
+            assert np.isfinite(g_losses[-1])
+            assert np.isfinite(float(metrics["d_total"]))
+        assert g_losses[-1] < g_losses[0], g_losses
+
+    def test_eval_step(self, speech_like):
+        cfg = tiny_gan_config()
+        g_state, d_state = create_gan_states(cfg, jax.random.PRNGKey(0))
+        ev = make_gan_eval_step(cfg)
+        audio = jnp.asarray(speech_like[:16000])[None, :]
+        out = ev(g_state, d_state, audio, jax.random.PRNGKey(0))
+        assert np.isfinite(float(out["g_total"]))
