@@ -1,0 +1,187 @@
+"""Janssen iterative AR inpainting as batched TPU linear algebra.
+
+Reference: ``models/AudioReg/utils/janssen_inp.m`` -- per iteration, fit an
+AR(p) model to the current solution (lpc or Burg), build the banded
+normal-equation system from the AR coefficient autocorrelation, and solve
+for the missing samples by Cholesky; bail out of the iteration loop if the
+factorization fails (``janssen_inp.m:108-111``).
+
+TPU-first design decisions:
+
+* The reference materializes an ``n_miss x N`` index-distance matrix
+  (``janssen_inp.m:76-77,105-107``).  Here the observed-side product
+  ``AA(:, indobs) @ x_obs`` is computed as a length-(2p+1) correlation of
+  the masked signal with the symmetric kernel ``b[|k|]`` -- O(N p) work,
+  no giant matrix.
+* Gaps are contiguous (the framework's corruption model), so the
+  missing-missing block is a symmetric positive-definite **Toeplitz**
+  matrix ``b[|i-j|]``; we build it at a static padded size and solve with
+  dense Cholesky -- one ``vmap`` makes this a batched solve across gaps or
+  OLA segments (replacing MATLAB ``parfor``, ``segmentation_inp.m:100-127``).
+* The Cholesky-failure bail-out is reproduced functionally: a ``failed``
+  flag freezes the solution at its last valid value.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ml_audio_inpainting_tpu.ops.linalg import ar_coef_autocorr, arburg, lpc
+
+__all__ = ["janssen"]
+
+
+def _observed_product(
+    solution_obs: jnp.ndarray, b: jnp.ndarray, p: int
+) -> jnp.ndarray:
+    """``g[i] = sum_{|k|<=p} b[|k|] * x_obs[i+k]`` for all i (full length).
+
+    ``solution_obs`` must be zero at missing positions, so this equals
+    ``AA(:, indobs) @ x(indobs)`` rows for every i."""
+    kernel = jnp.concatenate([b[::-1], b[1:]])  # b[|k|], k=-p..p, length 2p+1
+    padded = jnp.pad(solution_obs, (p, p))
+    # correlation via conv: g[i] = sum_k kernel[k+p] * padded[i+k+p]
+    return jnp.convolve(padded, kernel[::-1], mode="valid")
+
+
+@functools.partial(
+    jax.jit, static_argnames=("p", "maxit", "method", "max_gap", "saveall", "ridge")
+)
+def janssen(
+    signal: jnp.ndarray,
+    mask: jnp.ndarray,
+    gap_start: jnp.ndarray,
+    gap_len: jnp.ndarray,
+    p: int = 512,
+    maxit: int = 10,
+    method: str = "lpc",
+    max_gap: int = 2048,
+    saveall: bool = False,
+    ridge: float = 1e-6,
+) -> jnp.ndarray:
+    """Inpaint one contiguous gap in ``signal``.
+
+    Args:
+      signal: ``(N,)`` with arbitrary values inside the gap (they are
+        zeroed internally; the reference marks them NaN).
+      mask: ``(N,)`` 1 = observed / 0 = missing (contiguous zeros).
+      gap_start, gap_len: gap location in samples (traced values OK).
+      p: AR order.  maxit: Janssen iterations.  method: "lpc" | "arburg".
+      max_gap: static upper bound on the gap length (pads the Toeplitz
+        system; rows beyond ``gap_len`` are identity).
+      saveall: return ``(maxit, N)`` per-iteration solutions
+        (``janssen_inp.m`` ``saveall`` option) instead of ``(N,)``.
+      ridge: relative diagonal loading of the normal matrix.  The reference
+        (float64 MATLAB) aborts iteration on a failed Cholesky
+        (``janssen_inp.m:108-111``); in float32 near-singular systems (pure
+        tones, high ``p``) are common, so a tiny Tikhonov term keeps the
+        factorization alive -- set 0.0 for strict reference semantics.
+
+    Returns the restored signal (observed samples untouched).
+    """
+    n = signal.shape[-1]
+    dtype = signal.dtype
+    solution0 = jnp.where(mask > 0, signal, 0.0)
+
+    i_idx = jnp.arange(max_gap)
+    dist = jnp.abs(i_idx[:, None] - i_idx[None, :])  # static (max_gap, max_gap)
+    in_gap = i_idx < gap_len
+
+    def iteration(carry, _):
+        solution, failed = carry
+        coef = lpc(solution, p) if method == "lpc" else arburg(solution, p)
+        b = ar_coef_autocorr(coef, p)
+
+        # Toeplitz missing-missing block, identity-padded beyond gap_len.
+        band = jnp.where(dist <= p, b[jnp.clip(dist, 0, p)], 0.0)
+        valid2d = in_gap[:, None] & in_gap[None, :]
+        eye = jnp.eye(max_gap, dtype=dtype)
+        A = jnp.where(valid2d, band, eye)
+        if ridge > 0:
+            A = A + (ridge * b[0]) * eye
+
+        # RHS: -(AA(:, indobs) @ x_obs) at the missing rows.
+        obs = jnp.where(mask > 0, solution, 0.0)
+        g = _observed_product(obs, b, p)
+        rhs = jax.lax.dynamic_slice(jnp.pad(g, (0, max_gap)), (gap_start,), (max_gap,))
+        rhs = jnp.where(in_gap, -rhs, 0.0)
+
+        # Cholesky solve with functional bail-out (janssen_inp.m:108-111).
+        L = jnp.linalg.cholesky(A)
+        ok = jnp.all(jnp.isfinite(L))
+        L_safe = jnp.where(ok, L, eye)
+        x_miss = jax.scipy.linalg.cho_solve((L_safe, True), rhs)
+        x_miss = jnp.where(in_gap, x_miss, 0.0)
+
+        new_failed = failed | ~ok
+        updated = jax.lax.dynamic_update_slice(
+            jnp.pad(solution, (0, max_gap)),
+            jnp.where(
+                in_gap,
+                x_miss,
+                jax.lax.dynamic_slice(
+                    jnp.pad(solution, (0, max_gap)), (gap_start,), (max_gap,)
+                ),
+            ),
+            (gap_start,),
+        )[:n]
+        solution = jnp.where(new_failed, solution, updated)
+        return (solution, new_failed), solution
+
+    # TPU matmuls default to bf16 inputs; the Toeplitz Cholesky solve is far
+    # too ill-conditioned for that -- force full f32/f64 accumulation.
+    with jax.default_matmul_precision("highest"):
+        (final, _), history = jax.lax.scan(
+            iteration, (solution0, jnp.zeros((), bool)), None, length=maxit
+        )
+    return history if saveall else final
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("p", "maxit", "method", "max_gap", "context", "ridge"),
+)
+def janssen_gapwise(
+    signal: jnp.ndarray,
+    mask: jnp.ndarray,
+    gap_start: jnp.ndarray,
+    gap_len: jnp.ndarray,
+    p: int = 512,
+    maxit: int = 10,
+    method: str = "lpc",
+    max_gap: int = 2048,
+    context: int = 4096,
+    ridge: float = 1e-6,
+) -> jnp.ndarray:
+    """Gap-wise Janssen: solve on the ``gap +- context`` segment only.
+
+    This is how the reference benchmark invokes the solver
+    (``train.m:131-142``: ``janssen_inp(gapped(start-w : end+w), ...)``) --
+    the AR model is fit on the local neighborhood, not the whole clip, which
+    matters a lot when the clip has long silent/padded stretches.
+    """
+    n = signal.shape[-1]
+    seg_len = 2 * context + max_gap
+    pad = context + max_gap
+    xp = jnp.pad(jnp.where(mask > 0, signal, 0.0), (pad, pad))
+    mp = jnp.pad(mask, (pad, pad), constant_values=1.0)
+    seg_start = gap_start - context + pad
+    seg = jax.lax.dynamic_slice(xp, (seg_start,), (seg_len,))
+    seg_mask = jax.lax.dynamic_slice(mp, (seg_start,), (seg_len,))
+    solved = janssen(
+        seg,
+        seg_mask,
+        jnp.asarray(context),
+        gap_len,
+        p=p,
+        maxit=maxit,
+        method=method,
+        max_gap=max_gap,
+        ridge=ridge,
+    )
+    out = jax.lax.dynamic_update_slice(xp, solved, (seg_start,))[pad : pad + n]
+    return jnp.where(mask > 0, signal, out)

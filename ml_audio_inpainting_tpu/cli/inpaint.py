@@ -1,0 +1,209 @@
+"""Inference CLI: inpaint FLAC/WAV files with any model family.
+
+The reference's cross-model driver is ``models/model_eval.py`` (hardcoded
+paths, edit-to-configure).  This exposes it properly::
+
+    mai-inpaint --model gan --checkpoint ckpt_dir --input in.flac --output out.flac
+    mai-inpaint --model janssen --input dir/ --output outdir/ --gap-start 2.0 --gap-len 0.08
+
+Model families: ``gan``, ``cnn_blstm`` (checkpointed networks), and the
+classical solvers ``janssen``, ``arinpaint``, ``segmentation``, ``aspain``,
+``sspain`` (no checkpoint needed).
+"""
+
+from __future__ import annotations
+
+import argparse
+from pathlib import Path
+from typing import List
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+CLASSICAL = ("janssen", "arinpaint", "segmentation", "aspain", "sspain")
+
+
+def build_argparser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description="Inpaint gapped audio")
+    p.add_argument("--model", required=True,
+                   choices=["gan", "cnn_blstm", *CLASSICAL])
+    p.add_argument("--config", type=str, default=None)
+    p.add_argument("--checkpoint", type=str, default=None, help="orbax checkpoint dir")
+    p.add_argument("--input", required=True, help="audio file or directory")
+    p.add_argument("--output", required=True, help="output file or directory")
+    p.add_argument("--gap-start", type=float, default=2.0, help="gap start (s); model_eval.py:70")
+    p.add_argument("--gap-len", type=float, default=0.08, help="gap length (s); model_eval.py:64")
+    p.add_argument("--mode", choices=["parity", "enhanced"], default="parity")
+    p.add_argument("--ar-order", type=int, default=512)
+    p.add_argument("--maxit", type=int, default=10)
+    p.add_argument("--ar-method", choices=["lpc", "arburg"], default="lpc")
+    p.add_argument("--batch-size", type=int, default=8)
+    return p
+
+
+def _collect(inp: Path) -> List[Path]:
+    if inp.is_dir():
+        return sorted(
+            p for p in inp.rglob("*") if p.suffix.lower() in (".flac", ".wav")
+        )
+    return [inp]
+
+
+def main(argv=None) -> None:
+    from ml_audio_inpainting_tpu.data.audio_io import load_audio, save_audio
+    from ml_audio_inpainting_tpu.utils.config import Config, load_config
+
+    args = build_argparser().parse_args(argv)
+    cfg = load_config(args.config) if args.config else Config()
+    if args.model == "gan":
+        # GAN profile default (config.yaml:12-15)
+        from ml_audio_inpainting_tpu.utils.config import SpectrogramConfig
+
+        if args.config is None:
+            cfg.data.spectrogram = SpectrogramConfig(n_fft=512, hop_length=128, win_length=512)
+
+    sr = cfg.data.sample_rate
+    files = _collect(Path(args.input))
+    out_path = Path(args.output)
+    out_is_dir = out_path.is_dir() or len(files) > 1
+    if out_is_dir:
+        out_path.mkdir(parents=True, exist_ok=True)
+
+    gap_start = int(args.gap_start * sr)
+    gap_len = int(args.gap_len * sr)
+    n_samples = cfg.data.max_samples
+
+    run_fn = _build_runner(args, cfg, n_samples)
+
+    for i in range(0, len(files), args.batch_size):
+        chunk = files[i : i + args.batch_size]
+        audio = np.stack(
+            [load_audio(f, sample_rate=sr, max_len=cfg.data.max_len_s)[0] for f in chunk]
+        )
+        restored = run_fn(
+            jnp.asarray(audio),
+            jnp.full((len(chunk),), gap_start, jnp.int32),
+            jnp.full((len(chunk),), gap_len, jnp.int32),
+        )
+        restored = np.asarray(restored)
+        for j, f in enumerate(chunk):
+            if out_is_dir:
+                dest = out_path / f"{f.stem}_{args.model}_inpainted.flac"
+            else:
+                dest = out_path
+            save_audio(restored[j], dest, sr)
+            print(f"{f} -> {dest}")
+
+
+def _build_runner(args, cfg, n_samples: int):
+    """Returns fn(audio (B,S), gap_start (B,), gap_len (B,)) -> (B,S)."""
+    from ml_audio_inpainting_tpu.ops.gaps import gap_mask
+
+    if args.model in ("gan", "cnn_blstm"):
+        from ml_audio_inpainting_tpu.runtime.inference import (
+            make_cnn_inpaint_fn,
+            make_gan_inpaint_fn,
+        )
+        from ml_audio_inpainting_tpu.train.checkpoints import CheckpointManager
+
+        if args.model == "gan":
+            from ml_audio_inpainting_tpu.train.gan_trainer import (
+                build_generator,
+                create_gan_states,
+            )
+
+            model = build_generator(cfg)
+            g_state, d_state = create_gan_states(cfg, jax.random.PRNGKey(0))
+            if args.checkpoint:
+                mgr = CheckpointManager(args.checkpoint)
+                restored = mgr.restore({"g": g_state, "d": d_state})
+                g_state = restored["g"]
+            variables = {"params": g_state.params}
+            if g_state.batch_stats is not None:
+                variables["batch_stats"] = g_state.batch_stats
+            fn = make_gan_inpaint_fn(cfg, model, mode=args.mode)
+        else:
+            from ml_audio_inpainting_tpu.train.cnn_trainer import (
+                build_model,
+                create_cnn_state,
+            )
+
+            model = build_model(cfg)
+            state = create_cnn_state(cfg, jax.random.PRNGKey(0))
+            if args.checkpoint:
+                mgr = CheckpointManager(args.checkpoint)
+                state = mgr.restore(state)
+            variables = {"params": state.params}
+            if state.batch_stats is not None:
+                variables["batch_stats"] = state.batch_stats
+            fn = make_cnn_inpaint_fn(cfg, model)
+
+        def runner(audio, gs, gl):
+            restored, _ = fn(variables, audio, gs, gl)
+            return restored
+
+        return runner
+
+    # Classical solvers: vmap over the batch.
+    max_gap = 1 << (int(args.gap_len * cfg.data.sample_rate) - 1).bit_length()
+
+    def masks(audio, gs, gl):
+        return jax.vmap(lambda s, l: gap_mask(audio.shape[-1], s, l))(gs, gl)
+
+    if args.model == "janssen":
+        from ml_audio_inpainting_tpu.classical.janssen import janssen_gapwise
+
+        def runner(audio, gs, gl):
+            m = masks(audio, gs, gl)
+            return jax.vmap(
+                lambda x, mm, s, l: janssen_gapwise(
+                    x * mm, mm, s, l, p=args.ar_order, maxit=args.maxit,
+                    method=args.ar_method, max_gap=max_gap,
+                )
+            )(audio, m, gs, gl)
+
+        return runner
+    if args.model == "arinpaint":
+        from ml_audio_inpainting_tpu.classical.arinpaint import arinpaint
+
+        def runner(audio, gs, gl):
+            m = masks(audio, gs, gl)
+            return jax.vmap(
+                lambda x, mm, s, l: arinpaint(
+                    x * mm, mm, s, l, order=args.ar_order, max_gap=max_gap,
+                    method=args.ar_method,
+                )
+            )(audio, m, gs, gl)
+
+        return runner
+    if args.model == "segmentation":
+        from ml_audio_inpainting_tpu.classical.ola import segmentation_inpaint
+
+        def runner(audio, gs, gl):
+            m = masks(audio, gs, gl)
+            return jax.vmap(
+                lambda x, mm, s, l: segmentation_inpaint(
+                    x * mm, mm, s, l, p=args.ar_order, maxit=args.maxit,
+                    method=args.ar_method, max_gap=max_gap,
+                )
+            )(audio, m, gs, gl)
+
+        return runner
+    # aspain / sspain
+    from ml_audio_inpainting_tpu.classical.spain import spain_inpaint
+
+    def runner(audio, gs, gl):
+        m = masks(audio, gs, gl)
+        return jax.vmap(
+            lambda x, mm, s, l: spain_inpaint(
+                x * mm, mm, s, l, algorithm=args.model, maxit=max(args.maxit, 100),
+                max_gap=max_gap,
+            )
+        )(audio, m, gs, gl)
+
+    return runner
+
+
+if __name__ == "__main__":
+    main()

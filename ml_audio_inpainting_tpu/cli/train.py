@@ -1,0 +1,199 @@
+"""Training CLI: ``mai-train --model {gan,cnn_blstm} --config cfg.yaml``.
+
+Replaces the reference's per-model ``python train.py`` scripts
+(``models/GAN/train.py``, ``models/CNNBLSTM/train.py``) with one driver:
+config-driven like the reference (same YAML keys), but with explicit flags,
+a device mesh, fused train steps, orbax checkpoints, and TensorBoard
+logging.  ``--synthetic N`` trains on the deterministic synthetic corpus
+when no LibriSpeech tree is available.
+"""
+
+from __future__ import annotations
+
+import argparse
+import time
+from pathlib import Path
+
+import jax
+import numpy as np
+
+
+def build_argparser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description="Train an audio-inpainting model on TPU")
+    p.add_argument("--model", choices=["gan", "cnn_blstm"], required=True)
+    p.add_argument("--config", type=str, default=None, help="YAML config path")
+    p.add_argument("--data-root", type=str, default=None, help="override data.root_path")
+    p.add_argument("--synthetic", type=int, default=0, help="use N synthetic clips instead of files")
+    p.add_argument("--epochs", type=int, default=None)
+    p.add_argument("--batch-size", type=int, default=None)
+    p.add_argument("--steps", type=int, default=None, help="hard cap on total steps")
+    p.add_argument("--run-name", type=str, default=None)
+    p.add_argument("--base-dir", type=str, default=".")
+    p.add_argument("--model-parallel", type=int, default=1)
+    p.add_argument("--resume", action="store_true")
+    p.add_argument("--seed", type=int, default=0)
+    return p
+
+
+def make_dataset(cfg, args):
+    from ml_audio_inpainting_tpu.data.dataset import AudioFileDataset, SyntheticSpeechDataset
+
+    if args.synthetic:
+        return SyntheticSpeechDataset(
+            n_items=args.synthetic,
+            sample_rate=cfg.data.sample_rate,
+            max_len_s=cfg.data.max_len_s,
+        )
+    root = Path(args.data_root or cfg.data.root_path) / cfg.data.train_path
+    max_files = cfg.data.train_limit or cfg.data.n_files
+    return AudioFileDataset(
+        root,
+        sample_rate=cfg.data.sample_rate,
+        max_len_s=cfg.data.max_len_s,
+        max_files=max_files,
+    )
+
+
+def main(argv=None) -> None:
+    from ml_audio_inpainting_tpu.data.pipeline import batch_iterator, prefetch_to_device
+    from ml_audio_inpainting_tpu.parallel.mesh import batch_sharding, make_mesh
+    from ml_audio_inpainting_tpu.parallel.sharding import make_sharded_step, place_state
+    from ml_audio_inpainting_tpu.train.checkpoints import CheckpointManager
+    from ml_audio_inpainting_tpu.utils.config import Config, load_config
+    from ml_audio_inpainting_tpu.utils.run_logging import RunContext
+
+    args = build_argparser().parse_args(argv)
+    cfg = load_config(args.config) if args.config else Config()
+    if args.epochs is not None:
+        cfg.training.epochs = args.epochs
+        cfg.training.max_n_epochs = args.epochs
+    if args.batch_size is not None:
+        cfg.training.batch_size = args.batch_size
+
+    run = RunContext(cfg, run_name=args.run_name, base_dir=args.base_dir)
+    # Data-parallel width must divide the batch; use the largest divisor of
+    # the batch size that fits the available devices.
+    import math
+
+    avail = len(jax.devices()) // args.model_parallel
+    dp = math.gcd(cfg.training.batch_size, avail)
+    mesh = make_mesh(
+        data_parallel=dp,
+        model_parallel=args.model_parallel,
+        devices=jax.devices()[: dp * args.model_parallel],
+    )
+    run.logger.info("mesh: %s over %d devices", dict(mesh.shape), len(jax.devices()))
+
+    dataset = make_dataset(cfg, args)
+    run.logger.info("dataset: %d items", len(dataset))
+    epochs = cfg.training.epochs if args.model == "gan" else cfg.training.max_n_epochs
+    batches = batch_iterator(
+        dataset, cfg.training.batch_size, shuffle=True, seed=args.seed, epochs=epochs
+    )
+    feed = prefetch_to_device(batches, size=2, sharding=batch_sharding(mesh))
+
+    ckpt = CheckpointManager(
+        run.checkpoint_dir, save_interval_steps=1, max_to_keep=5
+    )
+    key = jax.random.PRNGKey(args.seed)
+    steps_per_epoch = max(1, len(dataset) // cfg.training.batch_size)
+    ckpt_every = cfg.logging.checkpoint_interval * steps_per_epoch
+
+    if args.model == "cnn_blstm":
+        from ml_audio_inpainting_tpu.train.cnn_trainer import (
+            create_cnn_state,
+            make_cnn_train_step,
+        )
+
+        state = create_cnn_state(cfg, key)
+        if args.resume and ckpt.latest_step() is not None:
+            state = ckpt.restore(state)
+            run.logger.info("resumed from step %s", ckpt.latest_step())
+        step_fn = make_sharded_step(make_cnn_train_step(cfg), state, mesh)
+        state = place_state(state, mesh)
+
+        step = int(state.step)
+        t0 = time.perf_counter()
+        for audio in feed:
+            key, sub = jax.random.split(key)
+            state, metrics = step_fn(state, audio, sub)
+            step += 1
+            if step % cfg.logging.metric_interval == 0:
+                loss = float(metrics["loss"])
+                rate = step / (time.perf_counter() - t0)
+                run.scalar("Loss_Train/L1_gap", loss, step)
+                run.logger.info("step %d loss %.4f (%.2f steps/s)", step, loss, rate)
+            if step % ckpt_every == 0:
+                ckpt.save(step, jax.device_get(state))
+            if args.steps and step >= args.steps:
+                break
+        ckpt.save(step, jax.device_get(state), force=True)
+
+    else:  # gan
+        from ml_audio_inpainting_tpu.models.vgg import vgg19_params
+        from ml_audio_inpainting_tpu.parallel.mesh import replicated
+        from ml_audio_inpainting_tpu.parallel.sharding import state_shardings
+        from ml_audio_inpainting_tpu.train.gan_trainer import (
+            create_gan_states,
+            make_gan_train_step,
+        )
+
+        g_state, d_state = create_gan_states(cfg, key)
+        use_vgg = (
+            cfg.training.lambda_vgg_perceptual > 0 or cfg.training.lambda_vgg_style > 0
+        )
+        vgg = vgg19_params() if use_vgg else None
+        step_fn = make_gan_train_step(cfg, vgg=vgg)
+        g_sh = state_shardings(g_state, mesh)
+        d_sh = state_shardings(d_state, mesh)
+        step_fn = jax.jit(
+            step_fn,
+            in_shardings=(g_sh, d_sh, batch_sharding(mesh), replicated(mesh)),
+            out_shardings=(g_sh, d_sh, replicated(mesh)),
+        )
+        if args.resume and ckpt.latest_step() is not None:
+            restored = ckpt.restore({"g": g_state, "d": d_state})
+            g_state, d_state = restored["g"], restored["d"]
+            run.logger.info("resumed from step %s", ckpt.latest_step())
+        g_state = jax.device_put(g_state, g_sh)
+        d_state = jax.device_put(d_state, d_sh)
+
+        step = int(g_state.step)
+        t0 = time.perf_counter()
+        for audio in feed:
+            key, sub = jax.random.split(key)
+            g_state, d_state, metrics = step_fn(g_state, d_state, audio, sub)
+            step += 1
+            if step % cfg.logging.log_interval == 0:
+                rate = step / (time.perf_counter() - t0)
+                for tag, k in [
+                    ("Loss_Train/Generator_Total", "g_total"),
+                    ("Loss_Train/Discriminator", "d_total"),
+                    ("Loss_Train/Generator_Adversarial", "g_adv"),
+                    ("Loss_Train/Generator_L1_Valid", "g_l1_valid"),
+                    ("Loss_Train/Generator_L1_Hole", "g_l1_hole"),
+                    ("Loss_Train/Generator_MagWeighted", "g_mag_weighted"),
+                    ("Loss_Train/Generator_VGG_Perceptual", "g_vgg_perceptual"),
+                    ("Loss_Train/Generator_VGG_Style", "g_vgg_style"),
+                    ("Loss_Train/Discriminator_Real", "d_real"),
+                    ("Loss_Train/Discriminator_Fake", "d_fake"),
+                ]:
+                    run.scalar(tag, float(metrics[k]), step)
+                run.logger.info(
+                    "step %d g_total %.4f d_total %.4f (%.2f steps/s)",
+                    step, float(metrics["g_total"]), float(metrics["d_total"]), rate,
+                )
+            if step % ckpt_every == 0:
+                ckpt.save(step, jax.device_get({"g": g_state, "d": d_state}))
+            if args.steps and step >= args.steps:
+                break
+        ckpt.save(step, jax.device_get({"g": g_state, "d": d_state}), force=True)
+
+    ckpt.wait()
+    ckpt.close()
+    run.logger.info("training done at step %d", step)
+    run.close()
+
+
+if __name__ == "__main__":
+    main()

@@ -58,6 +58,7 @@ def prefetch_to_device(
     """
     q: "queue.Queue" = queue.Queue(maxsize=size)
     sentinel = object()
+    error: list = []
 
     def producer():
         try:
@@ -67,6 +68,8 @@ def prefetch_to_device(
                 else:
                     batch = jax.device_put(batch)
                 q.put(batch)
+        except BaseException as e:  # propagate to the consumer, don't swallow
+            error.append(e)
         finally:
             q.put(sentinel)
 
@@ -75,5 +78,7 @@ def prefetch_to_device(
     while True:
         item = q.get()
         if item is sentinel:
+            if error:
+                raise error[0]
             return
         yield item

@@ -36,6 +36,9 @@ class StackedBLSTMCNN(nn.Module):
     freq_bins: int = 257
     enc_filters: Sequence[int] = (16, 32)
     dec_filters: Sequence[int] = (16, 32)
+    # Run the recurrence as one Pallas kernel (36x faster than lax.scan on
+    # TPU at production shapes -- see ops/pallas/lstm_cell.py).
+    use_pallas_lstm: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
@@ -61,7 +64,12 @@ class StackedBLSTMCNN(nn.Module):
         seq = h.transpose(0, 2, 3, 1).reshape(B, T, -1)
 
         # --- BiLSTM bottleneck (model.py:46-47) ---
-        seq = BiLSTM(self.lstm_hidden_dim, self.num_lstm_layers, name="lstm")(seq)
+        seq = BiLSTM(
+            self.lstm_hidden_dim,
+            self.num_lstm_layers,
+            use_pallas=self.use_pallas_lstm,
+            name="lstm",
+        )(seq)
 
         # --- Projection back to 2D (model.py:50, 80-83) ---
         seq = nn.Dense(self.freq_bins * self.dec_filters[0], name="projection")(seq)

@@ -73,16 +73,26 @@ class BiLSTM(nn.Module):
 
     Output feature dim is ``2 * hidden_dim`` (forward/backward concat), as
     consumed by the reference's projection layer (``model.py:50``).
+
+    ``use_pallas``: run the recurrence as a single Pallas kernel on TPU
+    (weights resident in VMEM across all T steps; carry never leaves the
+    chip -- see ``ops/pallas/lstm_cell.py``) instead of ``lax.scan``.
     """
 
     hidden_dim: int
     num_layers: int = 1
+    use_pallas: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         B = x.shape[0]
         H = self.hidden_dim
         init = nn.initializers.uniform(scale=2.0 / jnp.sqrt(H))  # ~torch U(-1/sqrt H, 1/sqrt H)
+
+        if self.use_pallas:
+            from ml_audio_inpainting_tpu.ops.pallas.lstm_cell import (
+                lstm_recurrence_pallas,
+            )
 
         for layer in range(self.num_layers):
             outs = []
@@ -93,8 +103,12 @@ class BiLSTM(nn.Module):
                 b = self.param(f"l{layer}_{direction}_b", nn.initializers.zeros, (4 * H,))
                 # Hoisted input projection: one big MXU matmul over all steps.
                 xw = x @ w_ih + b
-                h0 = jnp.zeros((B, H), x.dtype)
-                c0 = jnp.zeros((B, H), x.dtype)
-                outs.append(lstm_scan(xw, w_hh, h0, c0, reverse=direction == "bwd"))
+                reverse = direction == "bwd"
+                if self.use_pallas:
+                    outs.append(lstm_recurrence_pallas(xw, w_hh, reverse))
+                else:
+                    h0 = jnp.zeros((B, H), x.dtype)
+                    c0 = jnp.zeros((B, H), x.dtype)
+                    outs.append(lstm_scan(xw, w_hh, h0, c0, reverse=reverse))
             x = jnp.concatenate(outs, axis=-1)  # (B, T, 2H)
         return x

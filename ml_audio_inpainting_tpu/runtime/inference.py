@@ -1,0 +1,143 @@
+"""Fused end-to-end inference: gapped waveform -> restored waveform, one jit.
+
+This is the serving path -- the reference's ``models/model_eval.py:48-195``
+(``inpaint``) rebuilt as a single XLA program per model family:
+gap mask -> STFT -> normalize -> forward -> composite -> iSTFT all on
+device, batched over clips, with no host round-trips (BASELINE.json
+north-star).
+
+Two fidelity modes for the GAN:
+
+* ``parity``  -- byte-matches the reference pipeline, including its quirk of
+  feeding the generator's log1p-domain output directly to the iSTFT as
+  magnitude without ``expm1`` or gap compositing
+  (``model_eval.py:130-143``).  The reference's reported SDR numbers come
+  from this path.
+* ``enhanced`` -- de-normalizes (``expm1``) and composites the prediction
+  into the gap only, keeping the untouched input elsewhere (the compositing
+  rule of SURVEY.md §2.7).  Strictly better output; off by default for
+  benchmark parity.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ml_audio_inpainting_tpu.ops import gaps as gap_ops
+from ml_audio_inpainting_tpu.ops import masking
+from ml_audio_inpainting_tpu.ops.stft import istft, stft
+from ml_audio_inpainting_tpu.utils.config import Config
+
+__all__ = ["make_gan_inpaint_fn", "make_cnn_inpaint_fn"]
+
+
+def make_gan_inpaint_fn(cfg: Config, generator, mode: str = "parity") -> Callable:
+    """Build the jitted GAN inpainting function.
+
+    Returns ``fn(variables, audio, gap_start, gap_len) -> (restored, spec)``
+    over ``(B, S)`` clean/gapped waveforms; the gap interval is zeroed
+    internally (``model_eval.py:61-73``).
+    """
+    spec_cfg = cfg.data.spectrogram
+    if mode not in ("parity", "enhanced"):
+        raise ValueError(f"mode must be 'parity' or 'enhanced', got {mode!r}")
+
+    @jax.jit
+    def fn(variables, audio: jnp.ndarray, gap_start: jnp.ndarray, gap_len: jnp.ndarray):
+        n_samples = audio.shape[-1]
+        tmask = jax.vmap(
+            lambda s, l: gap_ops.gap_mask(n_samples, s, l, dtype=audio.dtype)
+        )(gap_start, gap_len)
+        impaired = audio * tmask
+
+        spec_clean = stft(
+            audio,
+            n_fft=spec_cfg.n_fft,
+            hop_length=spec_cfg.hop_length,
+            win_length=spec_cfg.win_length,
+        )
+        spec_gap = stft(
+            impaired,
+            n_fft=spec_cfg.n_fft,
+            hop_length=spec_cfg.hop_length,
+            win_length=spec_cfg.win_length,
+        )
+        phase = jnp.angle(spec_clean)
+        log_impaired = masking.log1p_norm(jnp.abs(spec_gap))
+
+        F, N = spec_clean.shape[-2:]
+        fmask = jax.vmap(
+            lambda s, l: gap_ops.frame_mask_from_interval(
+                s, s + l, F, N, spec_cfg.hop_length
+            )
+        )(gap_start, gap_len)
+
+        generated = generator.apply(variables, log_impaired, fmask, train=False)
+
+        if mode == "parity":
+            out_mag = generated  # reference feeds log1p-domain output directly
+        else:
+            composited = masking.composite(generated, masking.log1p_norm(jnp.abs(spec_clean)), fmask)
+            out_mag = masking.log1p_denorm(composited)
+
+        restored = istft(
+            out_mag * jnp.exp(1j * phase),
+            n_fft=spec_cfg.n_fft,
+            hop_length=spec_cfg.hop_length,
+            win_length=spec_cfg.win_length,
+            length=n_samples,
+        )
+        return restored, generated
+
+    return fn
+
+
+def make_cnn_inpaint_fn(cfg: Config, model) -> Callable:
+    """Build the jitted CNNBLSTM inpainting function
+    (``model_eval.py:144-192``).
+
+    Gap is applied in the spectrogram domain (frame mask via the floor rule
+    of ``librosa.time_to_frames``); output is ``10 ** (pred in gap, input
+    elsewhere)`` reconstructed with the input phase.
+    """
+    spec_cfg = cfg.data.spectrogram
+
+    @jax.jit
+    def fn(variables, audio: jnp.ndarray, gap_start: jnp.ndarray, gap_len: jnp.ndarray):
+        n_samples = audio.shape[-1]
+        spec_clean = stft(
+            audio,
+            n_fft=spec_cfg.n_fft,
+            hop_length=spec_cfg.hop_length,
+            win_length=spec_cfg.win_length,
+        )
+        phase = jnp.angle(spec_clean)
+        F, N = spec_clean.shape[-2:]
+
+        # CNNBLSTM frame rule: floor at both ends, 1 = gap (model_eval.py:146-150)
+        def frame_gap_mask(s, l):
+            t = jnp.arange(N)
+            hole = (t >= s // spec_cfg.hop_length) & (t < (s + l) // spec_cfg.hop_length)
+            return jnp.broadcast_to(jnp.where(hole, 1.0, 0.0)[None, :], (F, N))
+
+        gmask = jax.vmap(frame_gap_mask)(gap_start, gap_len)
+        log_impaired = jnp.log10(jnp.abs(spec_clean) * (1.0 - gmask) + masking.LOG10_EPS)
+
+        pred = model.apply(variables, log_impaired, train=False)
+        composited = pred * gmask + log_impaired * (1.0 - gmask)
+        out_mag = masking.log10_denorm(composited)
+
+        restored = istft(
+            out_mag * jnp.exp(1j * phase),
+            n_fft=spec_cfg.n_fft,
+            hop_length=spec_cfg.hop_length,
+            win_length=spec_cfg.win_length,
+            length=n_samples,
+        )
+        return restored, composited
+
+    return fn

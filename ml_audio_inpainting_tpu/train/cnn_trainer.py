@@ -44,6 +44,7 @@ def build_model(cfg: Config) -> StackedBLSTMCNN:
         freq_bins=cfg.data.spectrogram.freq_bins,
         enc_filters=tuple(m.enc_filters),
         dec_filters=tuple(m.dec_filters),
+        use_pallas_lstm=jax.default_backend() == "tpu",
     )
 
 

@@ -1,0 +1,254 @@
+"""Classical suite tests: AR estimation correctness, Janssen / extrapolation /
+OLA / SPAIN inpainting quality on signals with known structure."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ml_audio_inpainting_tpu.classical.arinpaint import arinpaint
+from ml_audio_inpainting_tpu.classical.janssen import janssen
+from ml_audio_inpainting_tpu.classical.ola import ola_windows, segmentation_inpaint
+from ml_audio_inpainting_tpu.classical.spain import (
+    aspain_core,
+    hard_threshold_dft,
+    spain_inpaint,
+    sspain_core,
+)
+from ml_audio_inpainting_tpu.ops.linalg import (
+    ar_coef_autocorr,
+    arburg,
+    autocorrelation,
+    levinson,
+    lpc,
+)
+from ml_audio_inpainting_tpu.train.metrics import gap_sdr
+
+SR = 16000
+
+
+def make_gap(signal, start, length):
+    mask = np.ones_like(signal)
+    mask[start : start + length] = 0.0
+    return jnp.asarray(signal * mask), jnp.asarray(mask)
+
+
+def ar_process(n, coefs, seed=0, burn=500):
+    """Generate an AR process with error-filter coefficients [1, a1..ap]."""
+    rng = np.random.default_rng(seed)
+    a = np.asarray(coefs[1:])
+    p = len(a)
+    x = np.zeros(n + burn)
+    e = rng.standard_normal(n + burn) * 0.1
+    for i in range(p, n + burn):
+        x[i] = -np.dot(a, x[i - p : i][::-1]) + e[i]
+    return x[burn:].astype(np.float64)
+
+
+class TestAREstimation:
+    def test_levinson_solves_toeplitz(self):
+        """levinson(r, p) must match the direct Toeplitz solve."""
+        with jax.enable_x64():
+            rng = np.random.default_rng(0)
+            x = rng.standard_normal(4096)
+            p = 8
+            r = np.asarray(autocorrelation(jnp.asarray(x), p))
+            a, e = levinson(jnp.asarray(r), p)
+            import scipy.linalg
+
+            T = scipy.linalg.toeplitz(r[:p])
+            a_direct = np.linalg.solve(T, -r[1 : p + 1])
+            np.testing.assert_allclose(np.asarray(a)[1:], a_direct, rtol=1e-8)
+            assert float(e) > 0
+
+    def test_lpc_recovers_ar_coefficients(self):
+        with jax.enable_x64():
+            true = [1.0, -1.5, 0.7]  # stable AR(2)
+            x = ar_process(16384, true, seed=1)
+            a = np.asarray(lpc(jnp.asarray(x), 2))
+            np.testing.assert_allclose(a, true, atol=0.03)
+
+    def test_arburg_recovers_ar_coefficients(self):
+        with jax.enable_x64():
+            true = [1.0, -1.5, 0.7]
+            x = ar_process(16384, true, seed=2)
+            a = np.asarray(arburg(jnp.asarray(x), 2))
+            np.testing.assert_allclose(a, true, atol=0.03)
+
+    def test_coef_autocorr(self):
+        c = jnp.asarray([1.0, -0.5, 0.25])
+        b = np.asarray(ar_coef_autocorr(c, 2))
+        expected = [1 + 0.25 + 0.0625, -0.5 - 0.125, 0.25]
+        np.testing.assert_allclose(b, expected, rtol=1e-6)
+
+
+class TestJanssen:
+    def test_sine_gap_reconstruction(self):
+        """A sine is an AR(2) process -- Janssen should reconstruct a gap
+        almost exactly."""
+        with jax.enable_x64():
+            t = np.arange(8192) / SR
+            sig = np.sin(2 * np.pi * 440 * t).astype(np.float64)
+            start, length = 4000, 320  # 20 ms
+            gapped, mask = make_gap(sig, start, length)
+            out = janssen(
+                gapped, mask, jnp.asarray(start), jnp.asarray(length),
+                p=64, maxit=5, method="lpc", max_gap=512,
+            )
+            sdr = float(gap_sdr(jnp.asarray(sig), out, 1.0 - mask))
+            assert sdr > 30.0, sdr
+
+    def test_observed_samples_untouched(self, speech_like):
+        sig = speech_like[:16000].astype(np.float64)
+        with jax.enable_x64():
+            start, length = 8000, 640
+            gapped, mask = make_gap(sig, start, length)
+            out = np.asarray(
+                janssen(gapped, mask, jnp.asarray(start), jnp.asarray(length),
+                        p=128, maxit=3, max_gap=1024)
+            )
+            np.testing.assert_array_equal(out[:start], sig[:start])
+            np.testing.assert_array_equal(out[start + length :], sig[start + length :])
+
+    def test_speech_gap_realistic_sdr(self, speech_like):
+        """80 ms speech gaps are hard: the reference's own Janssen lands
+        around -1.6 dB gap-SDR (BASELINE.md).  Gate on being in that band
+        and numerically sane rather than on beating the 0 dB zero-fill."""
+        with jax.enable_x64():
+            sig = speech_like[:32000].astype(np.float64)
+            start, length = 16000, 1280  # 80 ms, the eval condition
+            gapped, mask = make_gap(sig, start, length)
+            out = janssen(gapped, mask, jnp.asarray(start), jnp.asarray(length),
+                          p=256, maxit=8, max_gap=2048)
+            gm = 1.0 - mask
+            sdr_out = float(gap_sdr(jnp.asarray(sig), out, gm))
+            assert np.all(np.isfinite(np.asarray(out)))
+            assert sdr_out > -6.0, sdr_out
+
+    def test_short_gap_beats_zero_fill(self, speech_like):
+        """On a 20 ms gap the AR model has enough context to win clearly."""
+        with jax.enable_x64():
+            sig = speech_like[:32000].astype(np.float64)
+            start, length = 16000, 320
+            gapped, mask = make_gap(sig, start, length)
+            out = janssen(gapped, mask, jnp.asarray(start), jnp.asarray(length),
+                          p=256, maxit=8, max_gap=512)
+            gm = 1.0 - mask
+            sdr_out = float(gap_sdr(jnp.asarray(sig), out, gm))
+            sdr_zero = float(gap_sdr(jnp.asarray(sig), gapped, gm))
+            assert sdr_out > sdr_zero + 1.5, (sdr_out, sdr_zero)
+
+    def test_saveall_history(self):
+        with jax.enable_x64():
+            t = np.arange(4096) / SR
+            sig = np.sin(2 * np.pi * 300 * t)
+            gapped, mask = make_gap(sig, 2000, 160)
+            hist = janssen(gapped, mask, jnp.asarray(2000), jnp.asarray(160),
+                           p=32, maxit=4, max_gap=256, saveall=True)
+            assert hist.shape == (4, 4096)
+
+
+class TestArInpaint:
+    def test_sine_extrapolation(self):
+        with jax.enable_x64():
+            t = np.arange(8192) / SR
+            sig = np.sin(2 * np.pi * 500 * t)
+            start, length = 4000, 320
+            gapped, mask = make_gap(sig, start, length)
+            out = arinpaint(gapped, mask, jnp.asarray(start), jnp.asarray(length),
+                            order=32, context=2048, max_gap=512)
+            sdr = float(gap_sdr(jnp.asarray(sig), out, 1.0 - mask))
+            assert sdr > 25.0, sdr
+
+    def test_crossfade_blends_both_sides(self):
+        """With different tones before/after the gap, the fill must start
+        like the pre-gap tone and end like the post-gap tone."""
+        with jax.enable_x64():
+            t = np.arange(16384) / SR
+            pre = np.sin(2 * np.pi * 400 * t)
+            post = np.sin(2 * np.pi * 800 * t)
+            sig = np.where(t < 0.5, pre, post)
+            start, length = 7800, 640
+            gapped, mask = make_gap(sig, start, length)
+            out = np.asarray(
+                arinpaint(gapped, mask, jnp.asarray(start), jnp.asarray(length),
+                          order=64, context=2048, max_gap=1024)
+            )
+            head = out[start : start + 32]
+            tail = out[start + length - 32 : start + length]
+            c_head = np.corrcoef(head, pre[start : start + 32])[0, 1]
+            c_tail = np.corrcoef(tail, post[start + length - 32 : start + length])[0, 1]
+            assert c_head > 0.9 and c_tail > 0.9, (c_head, c_tail)
+
+
+class TestOLA:
+    def test_windows(self):
+        for wt in ("hann", "rect", "tukey"):
+            gana, gsyn = ola_windows(wt, 256)
+            assert gana.shape == gsyn.shape == (256,)
+            assert float(jnp.max(gana)) <= 1.0 + 1e-6
+
+    def test_segmentation_inpaint_quality_and_locality(self, speech_like):
+        with jax.enable_x64():
+            sig = speech_like[:32000].astype(np.float64)
+            start, length = 16000, 1280
+            gapped, mask = make_gap(sig, start, length)
+            out = segmentation_inpaint(
+                gapped, mask, jnp.asarray(start), jnp.asarray(length),
+                p=128, maxit=4, w=2048, a=512, max_gap=2048,
+            )
+            out = np.asarray(out)
+            gm = np.asarray(1.0 - mask)
+            sdr_out = float(gap_sdr(jnp.asarray(sig), jnp.asarray(out), jnp.asarray(gm)))
+            sdr_zero = float(gap_sdr(jnp.asarray(sig), gapped, jnp.asarray(gm)))
+            assert sdr_out > sdr_zero + 2.0, (sdr_out, sdr_zero)
+            # locality: samples far from the gap untouched
+            np.testing.assert_allclose(out[: start - 4096], sig[: start - 4096], atol=1e-9)
+
+
+class TestSPAIN:
+    def test_hard_threshold_keeps_k_pairs(self):
+        rng = np.random.default_rng(0)
+        x = jnp.asarray(rng.standard_normal(64))
+        z = jnp.fft.fft(x)
+        zt = hard_threshold_dft(z, jnp.asarray(3))
+        xt = np.asarray(jnp.fft.ifft(zt))
+        assert np.max(np.abs(xt.imag)) < 1e-6  # conjugate symmetry preserved
+        nhalf = 33
+        kept = np.sum(np.abs(np.asarray(zt)[:nhalf]) > 0)
+        assert kept <= 4  # k=3 (+ possible tie)
+
+    def test_aspain_sine_gap(self):
+        with jax.enable_x64():
+            t = np.arange(2048) / SR
+            sig = np.sin(2 * np.pi * 1000 * t)
+            start, length = 900, 160
+            gapped, mask = make_gap(sig, start, length)
+            out = aspain_core(gapped, mask, maxit=60, s=1, r=1)
+            sdr = float(gap_sdr(jnp.asarray(sig), out, 1.0 - mask))
+            assert sdr > 20.0, sdr
+
+    def test_sspain_runs(self):
+        with jax.enable_x64():
+            t = np.arange(1024) / SR
+            sig = np.sin(2 * np.pi * 700 * t)
+            gapped, mask = make_gap(sig, 500, 64)
+            out = sspain_core(gapped, mask, maxit=40)
+            assert np.all(np.isfinite(np.asarray(out)))
+
+    def test_spain_inpaint_full_signal(self, speech_like):
+        with jax.enable_x64():
+            sig = speech_like[:32000].astype(np.float64)
+            start, length = 16000, 640
+            gapped, mask = make_gap(sig, start, length)
+            out = spain_inpaint(
+                gapped, mask, jnp.asarray(start), jnp.asarray(length),
+                maxit=50, w=2048, a=512, max_gap=1024,
+            )
+            out = np.asarray(out)
+            # reliable samples verbatim
+            np.testing.assert_array_equal(out[: start], sig[: start])
+            gm = 1.0 - np.asarray(mask)
+            sdr_out = float(gap_sdr(jnp.asarray(sig), jnp.asarray(out), jnp.asarray(gm)))
+            sdr_zero = float(gap_sdr(jnp.asarray(sig), gapped, jnp.asarray(gm)))
+            assert sdr_out > sdr_zero, (sdr_out, sdr_zero)

@@ -1,0 +1,144 @@
+"""CLI smoke tests: train a few steps on synthetic data, preprocess a tiny
+corpus, inpaint with a classical solver -- all through the real entry points."""
+
+import json
+import sys
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+from ml_audio_inpainting_tpu.data.audio_io import read_audio, save_audio
+
+
+@pytest.fixture
+def tiny_corpus(tmp_path, rng):
+    root = tmp_path / "corpus" / "train"
+    root.mkdir(parents=True)
+    t = np.arange(16000) / 16000
+    for i in range(3):
+        sig = 0.5 * np.sin(2 * np.pi * (300 + 100 * i) * t).astype(np.float32)
+        save_audio(sig, root / f"clip{i}.flac", 16000, normalize=False)
+    return root
+
+
+def small_cfg_yaml(tmp_path, model: str) -> Path:
+    cfg = {
+        "data": {
+            "sample_rate": 16000,
+            "max_len_s": 1.0,
+            "gap_len_s": 0.1,
+            "gaps_per_audio": 2,
+            "spectrogram": (
+                {"n_fft": 512, "hop_length": 128, "win_length": 512}
+                if model == "gan"
+                else {"n_fft": 512, "hop_length": 192, "win_length": 384}
+            ),
+        },
+        "model": (
+            {
+                "generator": {},
+                "discriminator": {},
+            }
+            if model == "gan"
+            else {
+                "in_channels": 1,
+                "num_lstm_layers": 1,
+                "lstm_hidden_dim": 32,
+                "enc_filters": [4, 8],
+                "dec_filters": [4, 8],
+            }
+        ),
+        "training": {
+            "batch_size": 2,
+            "epochs": 5,
+            "max_n_epochs": 5,
+            "lambda_vgg_perceptual": 0.0,
+            "lambda_vgg_style": 0.0,
+        },
+        "logging": {"metric_interval": 1, "log_interval": 1, "checkpoint_interval": 1},
+    }
+    if model == "gan":
+        cfg["model"]["generator"] = {
+            "enc_layer_cfg": [[8, 7, 2], [16, 5, 2], [16, 3, 2]],
+            "dec_layer_cfg": [[16, 3, 1], [8, 3, 1]],
+            "final_interim_ch": 8,
+        }
+        cfg["model"]["discriminator"] = {"layer_cfg": [[8, 2], [16, 2]]}
+    import yaml
+
+    p = tmp_path / f"{model}.yaml"
+    p.write_text(yaml.safe_dump(cfg))
+    return p
+
+
+class TestTrainCLI:
+    def test_cnn_synthetic_short_run(self, tmp_path):
+        from ml_audio_inpainting_tpu.cli.train import main
+
+        cfg_path = small_cfg_yaml(tmp_path, "cnn_blstm")
+        main(
+            [
+                "--model", "cnn_blstm", "--config", str(cfg_path),
+                "--synthetic", "4", "--steps", "3",
+                "--base-dir", str(tmp_path), "--run-name", "t",
+            ]
+        )
+        ckpts = list((tmp_path / "checkpoints").rglob("*"))
+        assert any(p.is_dir() for p in ckpts)
+        logs = list((tmp_path / "logs").glob("*.log"))
+        assert logs and "step 3" in logs[0].read_text()
+
+    def test_gan_synthetic_short_run(self, tmp_path):
+        from ml_audio_inpainting_tpu.cli.train import main
+
+        cfg_path = small_cfg_yaml(tmp_path, "gan")
+        main(
+            [
+                "--model", "gan", "--config", str(cfg_path),
+                "--synthetic", "4", "--steps", "2",
+                "--base-dir", str(tmp_path), "--run-name", "g",
+            ]
+        )
+        logs = list((tmp_path / "logs").glob("*.log"))
+        assert logs and "g_total" in logs[0].read_text()
+
+
+class TestPreprocessCLI:
+    def test_mirror_tree_with_gaps(self, tmp_path, tiny_corpus):
+        from ml_audio_inpainting_tpu.cli.preprocess import main
+
+        out = tmp_path / "processed"
+        main(
+            [
+                "--input", str(tiny_corpus), "--output", str(out),
+                "--gap-len", "0.1", "--gap-start", "0.5", "--max-len", "1.0",
+            ]
+        )
+        outs = sorted(out.rglob("*.flac"))
+        assert len(outs) == 3
+        audio, rate, _ = read_audio(outs[0])
+        assert rate == 16000
+        seg = audio[8000 : 8000 + 1600, 0]
+        assert np.all(seg == 0.0)  # the gap
+        assert np.any(audio[:8000, 0] != 0.0)
+
+
+class TestInpaintCLI:
+    def test_classical_inpaint_file(self, tmp_path, tiny_corpus):
+        from ml_audio_inpainting_tpu.cli.inpaint import main
+
+        src = next(iter(sorted(tiny_corpus.glob("*.flac"))))
+        out = tmp_path / "restored.flac"
+        main(
+            [
+                "--model", "janssen", "--input", str(src), "--output", str(out),
+                "--gap-start", "0.4", "--gap-len", "0.05",
+                "--ar-order", "64", "--maxit", "3",
+            ]
+        )
+        audio, rate, md5 = read_audio(out)
+        assert rate == 16000 and md5 == 1
+        # the gap region should NOT be silent after inpainting a pure tone
+        seg = audio[int(0.41 * 16000) : int(0.44 * 16000), 0]
+        assert np.max(np.abs(seg)) > 0.01

@@ -1,0 +1,129 @@
+"""End-to-end inference path + checkpoint round-trip tests."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ml_audio_inpainting_tpu.runtime.inference import (
+    make_cnn_inpaint_fn,
+    make_gan_inpaint_fn,
+)
+from ml_audio_inpainting_tpu.train.checkpoints import CheckpointManager
+from ml_audio_inpainting_tpu.train.cnn_trainer import (
+    build_model,
+    create_cnn_state,
+    make_cnn_train_step,
+)
+from ml_audio_inpainting_tpu.train.gan_trainer import build_generator, create_gan_states
+from ml_audio_inpainting_tpu.utils.config import Config, SpectrogramConfig
+
+
+def tiny_cfg(gan: bool) -> Config:
+    cfg = Config()
+    cfg.data.max_len_s = 1.0
+    cfg.data.gap_len_s = 0.08
+    if gan:
+        cfg.data.spectrogram = SpectrogramConfig(n_fft=512, hop_length=128, win_length=512)
+        cfg.model.generator.enc_layer_cfg = [(8, 7, 2), (16, 5, 2), (16, 3, 2)]
+        cfg.model.generator.dec_layer_cfg = [(16, 3, 1), (8, 3, 1)]
+        cfg.model.generator.final_interim_ch = 8
+        cfg.model.discriminator.layer_cfg = [(8, 2)]
+    else:
+        cfg.data.spectrogram = SpectrogramConfig(n_fft=512, hop_length=192, win_length=384)
+        cfg.model.cnn_blstm.lstm_hidden_dim = 32
+        cfg.model.cnn_blstm.num_lstm_layers = 1
+        cfg.model.cnn_blstm.enc_filters = [4, 8]
+        cfg.model.cnn_blstm.dec_filters = [4, 8]
+    return cfg
+
+
+class TestGANInference:
+    def _setup(self):
+        cfg = tiny_cfg(gan=True)
+        gen = build_generator(cfg)
+        F = cfg.data.spectrogram.freq_bins
+        T = cfg.data.spectrogram.frames(cfg.data.max_samples)
+        variables = gen.init(
+            jax.random.PRNGKey(0), jnp.zeros((1, F, T)), jnp.ones((1, F, T)), train=False
+        )
+        return cfg, gen, variables
+
+    def test_parity_mode_shapes(self, speech_like):
+        cfg, gen, variables = self._setup()
+        fn = make_gan_inpaint_fn(cfg, gen, mode="parity")
+        audio = jnp.asarray(speech_like[:16000])[None, :]
+        restored, spec = fn(
+            variables, audio, jnp.asarray([4000]), jnp.asarray([1280])
+        )
+        assert restored.shape == (1, 16000)
+        assert np.all(np.isfinite(np.asarray(restored)))
+
+    def test_enhanced_mode_preserves_signal_outside_gap(self, speech_like):
+        """Enhanced mode composites: audio away from the gap must survive
+        nearly unchanged (iSTFT of untouched STFT frames)."""
+        cfg, gen, variables = self._setup()
+        fn = make_gan_inpaint_fn(cfg, gen, mode="enhanced")
+        audio = jnp.asarray(speech_like[:16000])[None, :]
+        restored, _ = fn(variables, audio, jnp.asarray([8000]), jnp.asarray([1280]))
+        r = np.asarray(restored[0])
+        a = np.asarray(audio[0])
+        # far from the gap (> 1 frame away from hole frames)
+        np.testing.assert_allclose(r[:6000], a[:6000], atol=5e-3)
+        np.testing.assert_allclose(r[12000:], a[12000:], atol=5e-3)
+
+
+class TestCNNInference:
+    def test_shapes_and_outside_gap(self, speech_like):
+        cfg = tiny_cfg(gan=False)
+        model = build_model(cfg)
+        state = create_cnn_state(cfg, jax.random.PRNGKey(0))
+        variables = {"params": state.params, "batch_stats": state.batch_stats}
+        fn = make_cnn_inpaint_fn(cfg, model)
+        audio = jnp.asarray(speech_like[:16000])[None, :]
+        restored, _ = fn(variables, audio, jnp.asarray([8000]), jnp.asarray([1280]))
+        assert restored.shape == (1, 16000)
+        r = np.asarray(restored[0])
+        a = np.asarray(audio[0])
+        np.testing.assert_allclose(r[:6000], a[:6000], atol=5e-3)
+
+
+class TestCheckpoints:
+    def test_save_restore_roundtrip(self, tmp_path, speech_like):
+        cfg = tiny_cfg(gan=False)
+        state = create_cnn_state(cfg, jax.random.PRNGKey(0))
+        step = make_cnn_train_step(cfg)
+        audio = jnp.asarray(speech_like[:16000])[None, :]
+        for i in range(3):
+            state, _ = step(state, audio, jax.random.PRNGKey(i))
+
+        mgr = CheckpointManager(tmp_path / "ckpt")
+        mgr.save(3, jax.device_get(state), force=True)
+        mgr.wait()
+        assert mgr.latest_step() == 3
+
+        template = create_cnn_state(cfg, jax.random.PRNGKey(42))
+        restored = mgr.restore(template)
+        for a, b in zip(
+            jax.tree_util.tree_leaves(state.params),
+            jax.tree_util.tree_leaves(restored.params),
+        ):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        assert int(restored.step) == 3
+        mgr.close()
+
+    def test_restore_missing_raises(self, tmp_path):
+        mgr = CheckpointManager(tmp_path / "empty")
+        with pytest.raises(FileNotFoundError):
+            mgr.restore(template={"x": np.zeros(3)})
+        mgr.close()
+
+    def test_incremental_saves_keep_latest(self, tmp_path):
+        mgr = CheckpointManager(tmp_path / "ckpt", max_to_keep=2)
+        for s in (1, 2, 3):
+            mgr.save(s, {"w": np.full((4,), float(s))}, force=True)
+        mgr.wait()
+        assert mgr.latest_step() == 3
+        out = mgr.restore({"w": np.zeros(4)})
+        np.testing.assert_array_equal(out["w"], np.full((4,), 3.0))
+        mgr.close()

@@ -1,0 +1,113 @@
+"""Mesh/sharding tests on the virtual 8-device CPU platform (SURVEY.md §4:
+multi-device tests without TPUs)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ml_audio_inpainting_tpu.parallel.mesh import (
+    batch_sharding,
+    make_mesh,
+    replicated,
+    shard_batch,
+)
+from ml_audio_inpainting_tpu.parallel.sharding import (
+    make_sharded_step,
+    place_state,
+    state_shardings,
+)
+from ml_audio_inpainting_tpu.train.cnn_trainer import create_cnn_state, make_cnn_train_step
+from ml_audio_inpainting_tpu.utils.config import Config, SpectrogramConfig
+
+pytestmark = pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+
+
+def small_cfg():
+    cfg = Config()
+    cfg.data.spectrogram = SpectrogramConfig(n_fft=512, hop_length=192, win_length=384)
+    cfg.data.max_len_s = 1.0
+    cfg.data.gap_len_s = 0.1
+    cfg.data.gaps_per_audio = 1
+    cfg.model.cnn_blstm.lstm_hidden_dim = 32
+    cfg.model.cnn_blstm.num_lstm_layers = 1
+    cfg.model.cnn_blstm.enc_filters = [4, 8]
+    cfg.model.cnn_blstm.dec_filters = [4, 8]
+    return cfg
+
+
+class TestMesh:
+    def test_make_mesh_shapes(self):
+        m = make_mesh()
+        assert m.shape["data"] == 8 and m.shape["model"] == 1
+        m2 = make_mesh(model_parallel=2)
+        assert m2.shape["data"] == 4 and m2.shape["model"] == 2
+
+    def test_invalid_mesh(self):
+        with pytest.raises(ValueError):
+            make_mesh(data_parallel=3, model_parallel=2)
+
+    def test_shard_batch_places_data(self):
+        m = make_mesh()
+        x = np.zeros((16, 100), np.float32)
+        sx = shard_batch(x, m)
+        assert sx.sharding.is_equivalent_to(batch_sharding(m), 2)
+
+
+class TestShardedTraining:
+    def test_dp_step_matches_single_device(self, speech_like):
+        """The data-parallel step must be numerically equivalent to the
+        single-device step (same batch, same key)."""
+        cfg = small_cfg()
+        state = create_cnn_state(cfg, jax.random.PRNGKey(0))
+        step = make_cnn_train_step(cfg)
+        audio = jnp.tile(jnp.asarray(speech_like[:16000])[None, :], (8, 1))
+        key = jax.random.PRNGKey(7)
+
+        ref_state, ref_metrics = step(state, audio, key)
+
+        mesh = make_mesh()
+        sharded_step = make_sharded_step(step, state, mesh)
+        p_state = place_state(state, mesh)
+        p_audio = shard_batch(np.asarray(audio), mesh)
+        out_state, out_metrics = sharded_step(p_state, p_audio, key)
+
+        np.testing.assert_allclose(
+            float(out_metrics["loss"]), float(ref_metrics["loss"]), rtol=1e-5
+        )
+        # Adam maps near-zero grads to +-lr steps, so float reduction-order
+        # noise across the mesh can flip a dead param's step sign; bound the
+        # divergence by one step size (lr=1e-4 -> 2e-4 worst case).
+        ref_leaves = jax.tree_util.tree_leaves(ref_state.params)
+        out_leaves = jax.tree_util.tree_leaves(out_state.params)
+        for a, b in zip(ref_leaves, out_leaves):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2.1e-4)
+
+    def test_dp_plus_tp_compiles_and_runs(self, speech_like):
+        """2-way model parallel x 4-way data parallel end to end."""
+        cfg = small_cfg()
+        state = create_cnn_state(cfg, jax.random.PRNGKey(0))
+        mesh = make_mesh(model_parallel=2)
+        step = make_cnn_train_step(cfg)
+        sharded_step = make_sharded_step(step, state, mesh)
+        p_state = place_state(state, mesh)
+        audio = shard_batch(
+            np.tile(np.asarray(speech_like[:16000])[None, :], (4, 1)), mesh
+        )
+        out_state, metrics = sharded_step(p_state, audio, jax.random.PRNGKey(0))
+        assert np.isfinite(float(metrics["loss"]))
+
+    def test_multi_step_training_progresses(self, speech_like):
+        cfg = small_cfg()
+        state = create_cnn_state(cfg, jax.random.PRNGKey(0))
+        mesh = make_mesh()
+        step = make_sharded_step(make_cnn_train_step(cfg), state, mesh)
+        state = place_state(state, mesh)
+        audio = shard_batch(
+            np.tile(np.asarray(speech_like[:16000])[None, :], (8, 1)), mesh
+        )
+        losses = []
+        for i in range(8):
+            state, m = step(state, audio, jax.random.PRNGKey(i % 2))
+            losses.append(float(m["loss"]))
+        assert losses[-1] < losses[0]
