@@ -15,6 +15,7 @@ import time
 from pathlib import Path
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 
@@ -32,6 +33,9 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--model-parallel", type=int, default=1)
     p.add_argument("--resume", action="store_true")
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--valid-every", type=int, default=0,
+                   help="run a validation pass every N steps (0 = off)")
+    p.add_argument("--valid-batches", type=int, default=4)
     return p
 
 
@@ -86,6 +90,50 @@ def main(argv=None) -> None:
 
     dataset = make_dataset(cfg, args)
     run.logger.info("dataset: %d items", len(dataset))
+
+    # Validation source (train.py:530-599): the valid split when configured,
+    # else a held-out synthetic set.
+    valid_dataset = None
+    if args.valid_every:
+        if args.synthetic:
+            from ml_audio_inpainting_tpu.data.dataset import SyntheticSpeechDataset
+
+            valid_dataset = SyntheticSpeechDataset(
+                n_items=args.valid_batches * cfg.training.batch_size,
+                sample_rate=cfg.data.sample_rate,
+                max_len_s=cfg.data.max_len_s,
+                seed=999,
+            )
+        else:
+            from ml_audio_inpainting_tpu.data.dataset import AudioFileDataset
+
+            vroot = Path(args.data_root or cfg.data.root_path) / cfg.data.valid_path
+            if vroot.exists():
+                valid_dataset = AudioFileDataset(
+                    vroot,
+                    sample_rate=cfg.data.sample_rate,
+                    max_len_s=cfg.data.max_len_s,
+                    max_files=args.valid_batches * cfg.training.batch_size,
+                )
+
+    def run_validation(eval_fn, states, step, key):
+        if valid_dataset is None:
+            return
+        vals = []
+        for vb in batch_iterator(
+            valid_dataset, cfg.training.batch_size, shuffle=False, epochs=1
+        ):
+            out = eval_fn(*states, jnp.asarray(vb), key)
+            vals.append({k: float(v) for k, v in out.items()})
+        if vals:
+            for k in vals[0]:
+                avg = float(np.mean([v[k] for v in vals]))
+                run.scalar(f"Loss_Valid/{k}", avg, step)
+            run.logger.info(
+                "validation @ step %d: %s",
+                step,
+                {k: round(float(np.mean([v[k] for v in vals])), 4) for k in vals[0]},
+            )
     epochs = cfg.training.epochs if args.model == "gan" else cfg.training.max_n_epochs
     batches = batch_iterator(
         dataset, cfg.training.batch_size, shuffle=True, seed=args.seed, epochs=epochs
@@ -111,6 +159,10 @@ def main(argv=None) -> None:
             run.logger.info("resumed from step %s", ckpt.latest_step())
         step_fn = make_sharded_step(make_cnn_train_step(cfg), state, mesh)
         state = place_state(state, mesh)
+        if args.valid_every:
+            from ml_audio_inpainting_tpu.train.cnn_trainer import make_cnn_eval_step
+
+            eval_fn = make_cnn_eval_step(cfg)
 
         step = int(state.step)
         t0 = time.perf_counter()
@@ -123,6 +175,8 @@ def main(argv=None) -> None:
                 rate = step / (time.perf_counter() - t0)
                 run.scalar("Loss_Train/L1_gap", loss, step)
                 run.logger.info("step %d loss %.4f (%.2f steps/s)", step, loss, rate)
+            if args.valid_every and step % args.valid_every == 0:
+                run_validation(eval_fn, (state,), step, jax.random.PRNGKey(123))
             if step % ckpt_every == 0:
                 ckpt.save(step, jax.device_get(state))
             if args.steps and step >= args.steps:
@@ -158,6 +212,45 @@ def main(argv=None) -> None:
         g_state = jax.device_put(g_state, g_sh)
         d_state = jax.device_put(d_state, d_sh)
 
+        # Sample generation (train.py:419-506): periodic audio + spectrogram
+        # dumps of the generator's current reconstruction.
+        from ml_audio_inpainting_tpu.data.audio_io import save_audio
+        from ml_audio_inpainting_tpu.runtime.inference import make_gan_inpaint_fn
+        from ml_audio_inpainting_tpu.train.gan_trainer import build_generator
+        from ml_audio_inpainting_tpu.utils.visualize import visualize_spectrogram
+
+        sample_fn = make_gan_inpaint_fn(cfg, build_generator(cfg), mode="parity")
+        sample_clip = jnp.asarray(dataset[0])[None, :]
+        sample_gap = (
+            jnp.asarray([int(2.0 * cfg.data.sample_rate) % max(1, cfg.data.max_samples - 1)]),
+            jnp.asarray([int(cfg.data.gap_len_s * cfg.data.sample_rate)]),
+        )
+
+        def dump_samples(step):
+            variables = {"params": jax.device_get(g_state.params)}
+            if g_state.batch_stats is not None:
+                variables["batch_stats"] = jax.device_get(g_state.batch_stats)
+            restored, gen_spec = sample_fn(variables, sample_clip, *sample_gap)
+            wav = np.asarray(restored[0])
+            save_audio(wav, run.sample_dir / f"sample_step{step:07d}.flac", cfg.data.sample_rate)
+            run.audio("Samples/reconstruction", wav, step, cfg.data.sample_rate)
+            fig = visualize_spectrogram(
+                np.asarray(gen_spec[0]),
+                hop_length=cfg.data.spectrogram.hop_length,
+                n_fft=cfg.data.spectrogram.n_fft,
+                win_length=cfg.data.spectrogram.win_length,
+                in_db=False,
+                title=f"Generated (step {step})",
+            )
+            if fig is not None:
+                run.figure("Samples/generated_spectrogram", fig, step)
+
+        gan_eval_fn = None
+        if args.valid_every:
+            from ml_audio_inpainting_tpu.train.gan_trainer import make_gan_eval_step
+
+            gan_eval_fn = make_gan_eval_step(cfg, vgg=vgg)
+
         step = int(g_state.step)
         t0 = time.perf_counter()
         for audio in feed:
@@ -182,6 +275,12 @@ def main(argv=None) -> None:
                 run.logger.info(
                     "step %d g_total %.4f d_total %.4f (%.2f steps/s)",
                     step, float(metrics["g_total"]), float(metrics["d_total"]), rate,
+                )
+            if step % cfg.logging.sample_interval == 0:
+                dump_samples(step)
+            if args.valid_every and step % args.valid_every == 0:
+                run_validation(
+                    gan_eval_fn, (g_state, d_state), step, jax.random.PRNGKey(123)
                 )
             if step % ckpt_every == 0:
                 ckpt.save(step, jax.device_get({"g": g_state, "d": d_state}))

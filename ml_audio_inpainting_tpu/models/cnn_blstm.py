@@ -91,8 +91,15 @@ class StackedBLSTMCNN(nn.Module):
     ) -> jnp.ndarray:
         """Predict the full spectrogram, keep it only inside the gap.
 
-        ``gap_mask`` uses the CNNBLSTM convention (1 = gap) --
-        reference ``model.py:92-107``.
+        ``gap_mask`` uses the CNNBLSTM convention (1 = gap) -- reference
+        ``model.py:92-107``.  In phase mode (``in_channels == 2``) the input
+        is stacked (real, imag) channels of the raw complex STFT; channels
+        are recombined to complex before compositing (``model.py:102-104``)
+        and the return value is complex.
         """
         pred = self.apply(variables, log_spectrogram_gap, train=False)
+        if self.in_channels == 2:
+            pred_c = pred[..., 0] + 1j * pred[..., 1]
+            in_c = log_spectrogram_gap[..., 0] + 1j * log_spectrogram_gap[..., 1]
+            return pred_c * gap_mask + in_c * (1.0 - gap_mask)
         return pred * gap_mask + log_spectrogram_gap * (1.0 - gap_mask)

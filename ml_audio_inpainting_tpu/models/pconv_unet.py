@@ -24,7 +24,7 @@ TPU-first re-design of the reference's ``PConvUNet``
 
 from __future__ import annotations
 
-from typing import Sequence, Tuple
+from typing import Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -59,10 +59,14 @@ class PartialConv(nn.Module):
     kernel: int
     stride: int = 1
     use_bias: bool = True
+    # When True, ``x`` is already multiplied by its (per-group) mask and
+    # ``mask`` is ignored -- avoids materializing full-channel-width mask
+    # tensors at concat points (a multi-GB HBM saving at batch scale).
+    premasked: bool = False
 
     @nn.compact
     def __call__(
-        self, x: jnp.ndarray, mask: jnp.ndarray, mask_channel_sum: jnp.ndarray
+        self, x: jnp.ndarray, mask: Optional[jnp.ndarray], mask_channel_sum: jnp.ndarray
     ) -> Tuple[jnp.ndarray, jnp.ndarray]:
         pad = self.kernel // 2
         c_in = x.shape[-1]
@@ -73,7 +77,7 @@ class PartialConv(nn.Module):
             padding=[(pad, pad), (pad, pad)],
             use_bias=False,
             name="conv",
-        )(x * mask)
+        )(x if self.premasked else x * mask)
 
         updated = _ones_conv(mask_channel_sum, self.kernel, self.stride, pad)
         window_size = float(c_in * self.kernel * self.kernel)
@@ -92,11 +96,17 @@ class _EncDecBlock(nn.Module):
     features: int
     kernel: int
     stride: int
+    premasked: bool = False
 
     @nn.compact
     def __call__(self, x, mask, mask_channel_sum, train: bool):
         x, mask = PartialConv(
-            self.features, self.kernel, self.stride, use_bias=False, name="pconv"
+            self.features,
+            self.kernel,
+            self.stride,
+            use_bias=False,
+            premasked=self.premasked,
+            name="pconv",
         )(x, mask, mask_channel_sum)
         x = nn.BatchNorm(use_running_average=not train, name="norm")(x)
         x = nn.leaky_relu(x, 0.2)
@@ -191,35 +201,33 @@ class PConvUNet(nn.Module):
 
             c_dec = dec_feat.shape[-1]
             c_skip = skip_feat.shape[-1]
-            feat_cat = jnp.concatenate([dec_feat, skip_feat], axis=-1)
-            # Per-channel masks differ across the concat -> channel sum is
-            # the weighted combination (reference concatenates full-width
-            # masks, networks.py:296-298).
+            # Per-channel masks differ across the concat -> pre-mask each
+            # group with its single-channel mask instead of materializing a
+            # full-width mask tensor (networks.py:296-298 concatenates the
+            # broadcast masks; the renormalization only needs their channel
+            # sum, so this is exact and saves multi-GB of HBM at batch scale).
+            feat_cat = jnp.concatenate(
+                [dec_feat * dec_mask, skip_feat * skip_mask], axis=-1
+            )
             mask_sum = c_dec * dec_mask + c_skip * skip_mask
-            mask_cat = jnp.concatenate(
-                [
-                    jnp.broadcast_to(dec_mask, dec_feat.shape[:-1] + (c_dec,)),
-                    jnp.broadcast_to(skip_mask, skip_feat.shape),
-                ],
-                axis=-1,
-            )
-            dec_feat, dec_mask = _EncDecBlock(ch, k, s, name=f"dec{i}")(
-                feat_cat, mask_cat, mask_sum, train
-            )
+            dec_feat, dec_mask = _EncDecBlock(
+                ch, k, s, premasked=True, name=f"dec{i}"
+            )(feat_cat, None, mask_sum, train)
 
         # --- Final: upsample, skip with the *network input* (networks.py:304-328)
         dec_feat = _upsample2x(dec_feat)
         dec_mask = _upsample2x(dec_mask)
         c_dec = dec_feat.shape[-1]
-        feat_cat = jnp.concatenate([dec_feat, x_pad], axis=-1)
+        feat_cat = jnp.concatenate([dec_feat * dec_mask, x_pad * mask_pad], axis=-1)
         mask_sum = c_dec * dec_mask + 1.0 * mask_pad
-        mask_cat = jnp.concatenate(
-            [jnp.broadcast_to(dec_mask, dec_feat.shape[:-1] + (c_dec,)), mask_pad],
-            axis=-1,
-        )
         out, m1 = PartialConv(
-            self.final_interim_ch, self.final_kernel, 1, use_bias=True, name="final_pconv1"
-        )(feat_cat, mask_cat, mask_sum)
+            self.final_interim_ch,
+            self.final_kernel,
+            1,
+            use_bias=True,
+            premasked=True,
+            name="final_pconv1",
+        )(feat_cat, None, mask_sum)
         out = nn.leaky_relu(out, 0.2)
         out, _ = PartialConv(
             self.output_channels, self.final_kernel, 1, use_bias=True, name="final_pconv2"

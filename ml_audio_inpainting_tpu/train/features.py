@@ -142,3 +142,58 @@ def cnn_features(
         "target_mag": target_mag,
         "target_phase": target_phase,
     }
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("spec", "gap_len_s", "sample_rate", "n_samples", "gaps_per_audio"),
+)
+def cnn_phase_features(
+    audio: jnp.ndarray,
+    key: jax.Array,
+    spec: SpectrogramConfig,
+    gap_len_s: float = 0.2,
+    sample_rate: int = 16000,
+    n_samples: int = 80000,
+    gaps_per_audio: int = 1,
+) -> Dict[str, jnp.ndarray]:
+    """Phase-mode features: stacked (real, imag) channels of the raw
+    (un-normalized) complex STFT (reference
+    ``models/CNNBLSTM/old/dataloader_phase.py:88-97``).
+
+    Returns:
+      spec_gap    (B*G, F, N, 2)  real/imag of STFT(gapped)
+      gap_mask    (B*G, F, N)     1 = gap
+      target      (B*G, F, N)     complex STFT(clean)
+    """
+    B = audio.shape[0]
+    G = gaps_per_audio
+    keys = jax.random.split(key, B * G).reshape(B, G, -1)
+
+    spec_clean = stft(
+        audio, n_fft=spec.n_fft, hop_length=spec.hop_length, win_length=spec.win_length
+    )
+    n_freq, n_time = spec_clean.shape[-2:]
+
+    def per_variant(clip, k):
+        mask, s, e = _one_gap(k, n_samples, gap_len_s, sample_rate)
+        sg = stft(
+            clip * mask,
+            n_fft=spec.n_fft,
+            hop_length=spec.hop_length,
+            win_length=spec.win_length,
+        )
+        t = jnp.arange(n_time)
+        hole = (t >= s // spec.hop_length) & (t < e // spec.hop_length)
+        gmask = jnp.broadcast_to(jnp.where(hole, 1.0, 0.0)[None, :], (n_freq, n_time))
+        return jnp.stack([jnp.real(sg), jnp.imag(sg)], axis=-1), gmask
+
+    spec_gap, gmask = jax.vmap(
+        lambda clip, ks: jax.vmap(lambda k: per_variant(clip, k))(ks)
+    )(audio, keys)
+
+    return {
+        "spec_gap": spec_gap.reshape(B * G, n_freq, n_time, 2),
+        "gap_mask": gmask.reshape(B * G, n_freq, n_time),
+        "target": jnp.repeat(spec_clean, G, axis=0),
+    }

@@ -21,6 +21,7 @@ import jax.numpy as jnp
 __all__ = [
     "bce_with_logits",
     "cnn_gap_l1_loss",
+    "cnn_phase_l1_loss",
     "generator_losses",
     "discriminator_loss",
 ]
@@ -43,6 +44,20 @@ def cnn_gap_l1_loss(
     """
     pred_lin = 10.0**log_pred
     return jnp.sum(jnp.abs(pred_lin * gap_mask - target_mag * gap_mask))
+
+
+def cnn_phase_l1_loss(
+    pred_channels: jnp.ndarray, target_complex: jnp.ndarray, gap_mask: jnp.ndarray
+) -> jnp.ndarray:
+    """Complex L1 on the gap region for the phase-mode model.
+
+    ``pred_channels``: ``(B, F, T, 2)`` real/imag output; the loss is the
+    summed modulus of the complex error inside the gap (the reference's
+    complex L1 variant, ``old/train_v2_phase.py:87-92``).
+    """
+    pred_c = pred_channels[..., 0] + 1j * pred_channels[..., 1]
+    err = (pred_c - target_complex) * gap_mask
+    return jnp.sum(jnp.abs(err))
 
 
 def generator_losses(

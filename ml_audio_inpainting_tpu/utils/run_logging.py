@@ -63,12 +63,22 @@ class RunContext:
             self.writer.add_scalar(tag, float(value), step)
 
     def audio(self, tag: str, audio: np.ndarray, step: int, sample_rate: int = 16000) -> None:
-        if self.writer is not None:
-            self.writer.add_audio(tag, np.asarray(audio)[None, :], step, sample_rate=sample_rate)
+        if self.writer is None:
+            return
+        try:
+            self.writer.add_audio(
+                tag, np.asarray(audio)[None, :], step, sample_rate=sample_rate
+            )
+        except Exception as e:  # tensorboardX needs soundfile for encoding
+            self.logger.debug("TB audio logging unavailable: %s", e)
 
     def figure(self, tag: str, fig, step: int) -> None:
-        if self.writer is not None:
+        if self.writer is None:
+            return
+        try:
             self.writer.add_figure(tag, fig, step)
+        except Exception as e:
+            self.logger.debug("TB figure logging unavailable: %s", e)
 
     def close(self) -> None:
         if self.writer is not None:

@@ -56,7 +56,12 @@ def small_cfg_yaml(tmp_path, model: str) -> Path:
             "lambda_vgg_perceptual": 0.0,
             "lambda_vgg_style": 0.0,
         },
-        "logging": {"metric_interval": 1, "log_interval": 1, "checkpoint_interval": 1},
+        "logging": {
+            "metric_interval": 1,
+            "log_interval": 1,
+            "checkpoint_interval": 1,
+            "sample_interval": 2,
+        },
     }
     if model == "gan":
         cfg["model"]["generator"] = {
@@ -102,6 +107,8 @@ class TestTrainCLI:
         )
         logs = list((tmp_path / "logs").glob("*.log"))
         assert logs and "g_total" in logs[0].read_text()
+        samples = list((tmp_path / "samples").rglob("*.flac"))
+        assert samples, "sample dump did not produce audio"
 
 
 class TestPreprocessCLI:
