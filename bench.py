@@ -31,7 +31,7 @@ def main() -> None:
     cfg.data.spectrogram = SpectrogramConfig(n_fft=512, hop_length=128, win_length=512)
     cfg.data.max_len_s = 5.0
 
-    batch = 16
+    batch = 32  # best measured batch for single-chip HBM (B=64 exceeds 16G)
     clip_s = cfg.data.max_len_s
     ds = SyntheticSpeechDataset(n_items=batch, max_len_s=clip_s)
     audio = jnp.asarray(np.stack([ds[i] for i in range(batch)]))

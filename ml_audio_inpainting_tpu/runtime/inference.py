@@ -35,12 +35,18 @@ from ml_audio_inpainting_tpu.utils.config import Config
 __all__ = ["make_gan_inpaint_fn", "make_cnn_inpaint_fn"]
 
 
-def make_gan_inpaint_fn(cfg: Config, generator, mode: str = "parity") -> Callable:
+def make_gan_inpaint_fn(
+    cfg: Config, generator, mode: str = "parity", compute_dtype=None
+) -> Callable:
     """Build the jitted GAN inpainting function.
 
     Returns ``fn(variables, audio, gap_start, gap_len) -> (restored, spec)``
     over ``(B, S)`` clean/gapped waveforms; the gap interval is zeroed
     internally (``model_eval.py:61-73``).
+
+    ``compute_dtype``: optionally run the generator in reduced precision
+    (``jnp.bfloat16``) -- DSP stays f32, only the conv stack casts.  Halves
+    HBM for activations and roughly doubles MXU throughput.
     """
     spec_cfg = cfg.data.spectrogram
     if mode not in ("parity", "enhanced"):
@@ -76,7 +82,21 @@ def make_gan_inpaint_fn(cfg: Config, generator, mode: str = "parity") -> Callabl
             )
         )(gap_start, gap_len)
 
-        generated = generator.apply(variables, log_impaired, fmask, train=False)
+        if compute_dtype is not None:
+            cast_vars = jax.tree_util.tree_map(
+                lambda p: p.astype(compute_dtype)
+                if hasattr(p, "dtype") and p.dtype == jnp.float32
+                else p,
+                variables,
+            )
+            generated = generator.apply(
+                cast_vars,
+                log_impaired.astype(compute_dtype),
+                fmask.astype(compute_dtype),
+                train=False,
+            ).astype(jnp.float32)
+        else:
+            generated = generator.apply(variables, log_impaired, fmask, train=False)
 
         if mode == "parity":
             out_mag = generated  # reference feeds log1p-domain output directly
