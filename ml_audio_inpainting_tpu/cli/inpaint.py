@@ -129,14 +129,24 @@ def _build_runner(args, cfg, n_samples: int):
                 create_cnn_state,
             )
 
-            model = build_model(cfg)
-            state = create_cnn_state(cfg, jax.random.PRNGKey(0))
-            if args.checkpoint:
-                mgr = CheckpointManager(args.checkpoint)
-                state = mgr.restore(state)
-            variables = {"params": state.params}
-            if state.batch_stats is not None:
-                variables["batch_stats"] = state.batch_stats
+            if args.checkpoint and str(args.checkpoint).endswith((".pt", ".pth")):
+                # Reference torch checkpoints load directly (port_torch.py).
+                from ml_audio_inpainting_tpu.models.port_torch import (
+                    load_torch_cnn_blstm,
+                )
+
+                model, variables = load_torch_cnn_blstm(
+                    args.checkpoint, freq_bins=cfg.data.spectrogram.freq_bins
+                )
+            else:
+                model = build_model(cfg)
+                state = create_cnn_state(cfg, jax.random.PRNGKey(0))
+                if args.checkpoint:
+                    mgr = CheckpointManager(args.checkpoint)
+                    state = mgr.restore(state)
+                variables = {"params": state.params}
+                if state.batch_stats is not None:
+                    variables["batch_stats"] = state.batch_stats
             fn = make_cnn_inpaint_fn(cfg, model)
 
         def runner(audio, gs, gl):

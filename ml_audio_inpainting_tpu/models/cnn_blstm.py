@@ -40,6 +40,11 @@ class StackedBLSTMCNN(nn.Module):
     # VMEM; measured ~parity with XLA scan on forward and ~12% faster on the
     # backward at production shapes -- see ops/pallas/lstm_cell.py).
     use_pallas_lstm: bool = False
+    # v2-era lineage variant (checkpoints/OLD/README.txt): mean-pool the
+    # frequency axis before the BiLSTM so the recurrence sees only the
+    # channel features (the shipped ``blstm_cnn_no_gap_2025_04_05_BEST.pt``
+    # checkpoint uses this shape -- LSTM input = enc channels).
+    global_pool: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
@@ -61,8 +66,12 @@ class StackedBLSTMCNN(nn.Module):
             h = nn.BatchNorm(use_running_average=not train, name=f"enc_bn{i}")(h)
             h = nn.relu(h)
 
-        # --- Reshape to sequence (model.py:73-74): (B, T, C*F) ---
-        seq = h.transpose(0, 2, 3, 1).reshape(B, T, -1)
+        # --- Reshape to sequence (model.py:73-74): (B, T, C*F) -- or the
+        # global-pool variant: mean over F -> (B, T, C) ---
+        if self.global_pool:
+            seq = h.mean(axis=1).reshape(B, T, -1)
+        else:
+            seq = h.transpose(0, 2, 3, 1).reshape(B, T, -1)
 
         # --- BiLSTM bottleneck (model.py:46-47) ---
         seq = BiLSTM(
