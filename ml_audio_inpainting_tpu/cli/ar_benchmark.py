@@ -45,6 +45,9 @@ def build_argparser() -> argparse.ArgumentParser:
 
 
 def main(argv=None) -> None:
+    from ml_audio_inpainting_tpu.utils.platform import apply_platform_env
+
+    apply_platform_env()
     from ml_audio_inpainting_tpu.classical.arinpaint import arinpaint
     from ml_audio_inpainting_tpu.classical.janssen import janssen_gapwise
     from ml_audio_inpainting_tpu.classical.ola import segmentation_inpaint

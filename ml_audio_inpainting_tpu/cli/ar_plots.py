@@ -38,6 +38,9 @@ def load_results(results_dir: Path):
 
 
 def main(argv=None) -> None:
+    from ml_audio_inpainting_tpu.utils.platform import apply_platform_env
+
+    apply_platform_env()
     import matplotlib
 
     matplotlib.use("Agg")

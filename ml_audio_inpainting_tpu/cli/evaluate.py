@@ -42,6 +42,9 @@ def build_argparser() -> argparse.ArgumentParser:
 
 
 def main(argv=None) -> None:
+    from ml_audio_inpainting_tpu.utils.platform import apply_platform_env
+
+    apply_platform_env()
     from ml_audio_inpainting_tpu.cli.inpaint import _build_runner, _collect
     from ml_audio_inpainting_tpu.data.audio_io import load_audio, save_audio
     from ml_audio_inpainting_tpu.ops.gaps import gap_mask

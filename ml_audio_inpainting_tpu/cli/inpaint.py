@@ -51,6 +51,9 @@ def _collect(inp: Path) -> List[Path]:
 
 
 def main(argv=None) -> None:
+    from ml_audio_inpainting_tpu.utils.platform import apply_platform_env
+
+    apply_platform_env()
     from ml_audio_inpainting_tpu.data.audio_io import load_audio, save_audio
     from ml_audio_inpainting_tpu.utils.config import Config, load_config
 

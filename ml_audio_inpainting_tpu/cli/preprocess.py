@@ -33,6 +33,9 @@ def build_argparser() -> argparse.ArgumentParser:
 
 
 def main(argv=None) -> None:
+    from ml_audio_inpainting_tpu.utils.platform import apply_platform_env
+
+    apply_platform_env()
     from ml_audio_inpainting_tpu.data.audio_io import load_audio, save_audio
     from ml_audio_inpainting_tpu.data.dataset import list_audio_files
     from ml_audio_inpainting_tpu.ops.gaps import random_gap_mask

@@ -59,6 +59,9 @@ def make_dataset(cfg, args):
 
 
 def main(argv=None) -> None:
+    from ml_audio_inpainting_tpu.utils.platform import apply_platform_env
+
+    apply_platform_env()
     from ml_audio_inpainting_tpu.data.pipeline import batch_iterator, prefetch_to_device
     from ml_audio_inpainting_tpu.parallel.mesh import batch_sharding, make_mesh
     from ml_audio_inpainting_tpu.parallel.sharding import make_sharded_step, place_state
