@@ -18,6 +18,9 @@ import numpy as np
 
 
 def main() -> None:
+    from ml_audio_inpainting_tpu.utils.platform import apply_platform_env
+
+    apply_platform_env()  # persistent compile cache; honors JAX_PLATFORMS
     import jax
     import jax.numpy as jnp
 

@@ -41,6 +41,9 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--w", type=int, default=4096, help="OLA window (train.m:31)")
     p.add_argument("--a", type=int, default=1024, help="OLA shift (train.m:32)")
     p.add_argument("--resume", action="store_true", default=True)
+    p.add_argument("--chunk", type=int, default=3,
+                   help="signals per batched solve (bounds device memory for "
+                        "the windowed methods)")
     return p
 
 
@@ -66,6 +69,21 @@ def main(argv=None) -> None:
         np.stack([load_audio(f, sample_rate=sr, max_len=5.0)[0] for f in files])
     )
     B, n = clean.shape
+
+    def chunked(solver):
+        """Apply a vmapped per-signal solver in --chunk-sized batches
+        (keeps the windowed-Janssen working set inside device memory)."""
+
+        def run(xs, ms, ss, ls):
+            outs = []
+            for i in range(0, xs.shape[0], args.chunk):
+                sl = slice(i, i + args.chunk)
+                outs.append(
+                    jax.vmap(solver)(xs[sl], ms[sl], ss[sl], ls[sl])
+                )
+            return jnp.concatenate(outs, axis=0)
+
+        return run
 
     for gap_ms in args.gap_lens_ms:
         gap_len = int(gap_ms * sr / 1000)
@@ -110,7 +128,7 @@ def main(argv=None) -> None:
 
                 record(
                     "extrapolation",
-                    lambda: jax.vmap(
+                    lambda: chunked(
                         lambda x, mm, s, l: arinpaint(
                             x, mm, s, l, order=p_order, context=args.w,
                             max_gap=max_gap, method=est,
@@ -143,7 +161,7 @@ def main(argv=None) -> None:
                         )(hist)
                         return outs  # (maxit, n)
 
-                    return jax.vmap(one)(gapped, tmask, gs, gl)  # (B, maxit, n)
+                    return chunked(one)(gapped, tmask, gs, gl)  # (B, maxit, n)
 
                 t0 = time.perf_counter()
                 hist = np.asarray(gapwise_saveall())
@@ -172,7 +190,7 @@ def main(argv=None) -> None:
                 for wtype in ("hann", "rect", "tukey"):
                     record(
                         f"janssen_{wtype}",
-                        lambda wt=wtype: jax.vmap(
+                        lambda wt=wtype: chunked(
                             lambda x, mm, s, l: segmentation_inpaint(
                                 x, mm, s, l, p=p_order, maxit=args.maxit,
                                 method=est, wtype=wt, w=args.w, a=args.a,

@@ -15,11 +15,22 @@ __all__ = ["apply_platform_env"]
 
 
 def apply_platform_env() -> None:
+    import jax
+
     plat = os.environ.get("JAX_PLATFORMS")
     if plat:
-        import jax
-
         try:
             jax.config.update("jax_platforms", plat)
         except Exception:
             pass  # backend already initialized; env took effect or cannot change
+
+    # Persistent compilation cache: first-time TPU compiles go through a slow
+    # remote-compile service here; caching makes repeated CLI/driver runs of
+    # the same shapes start in seconds instead of minutes.
+    cache_dir = os.environ.get("MAI_JAX_CACHE", os.path.expanduser("~/.cache/mai_jax"))
+    try:
+        os.makedirs(cache_dir, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+    except Exception:
+        pass
