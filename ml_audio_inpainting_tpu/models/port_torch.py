@@ -24,8 +24,9 @@ import jax.numpy as jnp
 import numpy as np
 
 from ml_audio_inpainting_tpu.models.cnn_blstm import StackedBLSTMCNN
+from ml_audio_inpainting_tpu.models.pconv_unet import PConvUNet
 
-__all__ = ["load_torch_cnn_blstm"]
+__all__ = ["load_torch_cnn_blstm", "load_torch_pconv_unet"]
 
 
 def _conv(sd, name):
@@ -64,6 +65,66 @@ def _lstm(sd, num_layers: int):
             out[f"l{layer}_{direction}_w_hh"] = jnp.asarray(wh.T)
             out[f"l{layer}_{direction}_b"] = jnp.asarray(bi + bh)
     return out
+
+
+def load_torch_pconv_unet(
+    state_dict,
+    enc_layer_cfg=((64, 7, 2), (128, 5, 2), (256, 5, 2),
+                   (512, 3, 2), (512, 3, 2), (512, 3, 2), (512, 3, 2)),
+    dec_layer_cfg=((512, 3, 1), (512, 3, 1), (512, 3, 1),
+                   (256, 3, 1), (128, 3, 1), (64, 3, 1)),
+    final_interim_ch: int = 64,
+) -> Tuple[PConvUNet, Dict]:
+    """Port a reference ``PConvUNet`` generator ``state_dict``
+    (``models/GAN/networks.py:173-345``) into this framework's model.
+
+    The frozen all-ones mask-conv weights are architecture constants here
+    and are skipped; encoder/decoder PConvs use bias=False + BatchNorm, the
+    two final PConvs carry explicit bias parameters.
+    """
+    sd = state_dict
+    if hasattr(sd, "state_dict"):
+        sd = sd.state_dict()
+    sd = {k: (v.numpy() if hasattr(v, "numpy") else np.asarray(v)) for k, v in sd.items()}
+
+    model = PConvUNet(
+        enc_layer_cfg=tuple(tuple(l) for l in enc_layer_cfg),
+        dec_layer_cfg=tuple(tuple(l) for l in dec_layer_cfg),
+        final_interim_ch=final_interim_ch,
+    )
+
+    params: Dict = {}
+    batch_stats: Dict = {}
+
+    def block(flax_name, torch_prefix):
+        w = sd[f"{torch_prefix}.pconv.conv.weight"]
+        params[flax_name] = {
+            "pconv": {"conv": {"kernel": jnp.asarray(w.transpose(2, 3, 1, 0))}},
+            "norm": {
+                "scale": jnp.asarray(sd[f"{torch_prefix}.norm.weight"]),
+                "bias": jnp.asarray(sd[f"{torch_prefix}.norm.bias"]),
+            },
+        }
+        batch_stats[flax_name] = {
+            "norm": {
+                "mean": jnp.asarray(sd[f"{torch_prefix}.norm.running_mean"]),
+                "var": jnp.asarray(sd[f"{torch_prefix}.norm.running_var"]),
+            }
+        }
+
+    for i in range(len(enc_layer_cfg)):
+        block(f"enc{i}", f"encoder_blocks.{i}")
+    for i in range(len(dec_layer_cfg)):
+        block(f"dec{i}", f"decoder_blocks.{i}")
+
+    for flax_name, idx in (("final_pconv1", 0), ("final_pconv2", 2)):
+        w = sd[f"final_decoder_layer.{idx}.conv.weight"]
+        params[flax_name] = {
+            "conv": {"kernel": jnp.asarray(w.transpose(2, 3, 1, 0))},
+            "bias": jnp.asarray(sd[f"final_decoder_layer.{idx}.bias"]),
+        }
+
+    return model, {"params": params, "batch_stats": batch_stats}
 
 
 def load_torch_cnn_blstm(

@@ -22,6 +22,14 @@ from ml_audio_inpainting_tpu.ops.masking import (
     log10_norm,
     power_to_db,
 )
+from ml_audio_inpainting_tpu.ops.linalg import (
+    ar_coef_autocorr,
+    arburg,
+    autocorrelation,
+    levinson,
+    lpc,
+)
+from ml_audio_inpainting_tpu.ops.lstm import BiLSTM, lstm_scan
 from ml_audio_inpainting_tpu.ops.mel import mel_filterbank, mel_spectrogram, mel_to_audio
 from ml_audio_inpainting_tpu.ops.stft import (
     frame_signal,
@@ -48,6 +56,13 @@ __all__ = [
     "log10_denorm",
     "log10_norm",
     "power_to_db",
+    "ar_coef_autocorr",
+    "arburg",
+    "autocorrelation",
+    "levinson",
+    "lpc",
+    "BiLSTM",
+    "lstm_scan",
     "mel_filterbank",
     "mel_spectrogram",
     "mel_to_audio",

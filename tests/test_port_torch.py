@@ -79,3 +79,46 @@ class TestTorchPort:
         out = np.asarray(model.reconstruct_spectrogram(variables, x, gm))
         np.testing.assert_array_equal(out[:, :, :100], np.asarray(x)[:, :, :100])
         assert np.all(np.isfinite(out))
+
+
+GAN_REF_DIR = "/root/reference/models/GAN"
+
+
+@pytest.mark.skipif(
+    not os.path.isdir(GAN_REF_DIR), reason="reference GAN sources not mounted"
+)
+class TestPConvUNetParity:
+    def test_generator_matches_reference_implementation(self):
+        """Definitive parity: random-initialize the REFERENCE torch PConvUNet
+        (imported from the mounted reference sources), port its weights, and
+        compare full forwards -- must agree to f32 epsilon.  Covers the
+        partial-conv renormalization, mask plumbing through skips, padding
+        and cropping, and the final input-skip PConv pair."""
+        import sys
+
+        import jax.numpy as jnp
+        import torch
+
+        sys.path.insert(0, GAN_REF_DIR)
+        try:
+            import networks as ref_networks
+        finally:
+            sys.path.remove(GAN_REF_DIR)
+
+        from ml_audio_inpainting_tpu.models.port_torch import load_torch_pconv_unet
+
+        torch.manual_seed(0)
+        tnet = ref_networks.PConvUNet()
+        tnet.eval()
+        model, variables = load_torch_pconv_unet(tnet.state_dict())
+
+        rng = np.random.default_rng(0)
+        x = rng.standard_normal((1, 257, 626)).astype(np.float32)
+        mask = np.ones((1, 257, 626), np.float32)
+        mask[:, :, 300:320] = 0.0
+        with torch.no_grad():
+            y_t = tnet(
+                torch.from_numpy(x).unsqueeze(1), torch.from_numpy(mask).unsqueeze(1)
+            ).squeeze(1).numpy()
+        y_j = np.asarray(model.apply(variables, jnp.asarray(x), jnp.asarray(mask), train=False))
+        np.testing.assert_allclose(y_j, y_t, atol=5e-6)
