@@ -24,13 +24,17 @@ def apply_platform_env() -> None:
         except Exception:
             pass  # backend already initialized; env took effect or cannot change
 
-    # Persistent compilation cache: first-time TPU compiles go through a slow
-    # remote-compile service here; caching makes repeated CLI/driver runs of
-    # the same shapes start in seconds instead of minutes.
-    cache_dir = os.environ.get("MAI_JAX_CACHE", os.path.expanduser("~/.cache/mai_jax"))
-    try:
-        os.makedirs(cache_dir, exist_ok=True)
-        jax.config.update("jax_compilation_cache_dir", cache_dir)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
-    except Exception:
-        pass
+    # Persistent compilation cache for CPU runs (tests, classical benchmarks).
+    # Deliberately NOT enabled for the experimental axon TPU backend -- cache
+    # serialization support there is unverified and a hang would be worse
+    # than a recompile.  Opt in explicitly with MAI_JAX_CACHE=<dir>.
+    cache_dir = os.environ.get("MAI_JAX_CACHE")
+    if cache_dir is None and plat == "cpu":
+        cache_dir = os.path.expanduser("~/.cache/mai_jax")
+    if cache_dir:
+        try:
+            os.makedirs(cache_dir, exist_ok=True)
+            jax.config.update("jax_compilation_cache_dir", cache_dir)
+            jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+        except Exception:
+            pass
