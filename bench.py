@@ -1,20 +1,36 @@
 """Benchmark: seconds of audio inpainted per second per chip.
 
-Runs the flagship end-to-end inference pipeline -- gapped waveform -> STFT ->
-PConv U-Net generator -> iSTFT reconstruction -- as one jitted XLA program on
-the available accelerator, batched over 5 s / 16 kHz clips (the reference's
-``models/model_eval.py`` serve path, BASELINE.json config #4).
+Default mode runs the flagship end-to-end inference pipeline -- gapped
+waveform -> STFT -> PConv U-Net generator -> iSTFT reconstruction -- as one
+jitted XLA program, batched over 5 s / 16 kHz clips (the reference's
+``models/model_eval.py`` serve path, BASELINE.json config #4), and prints
+ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.  ``vs_baseline``
+is value / 100, the multiple of the BASELINE.json north-star target of
+>=100x realtime per chip (the reference records no throughput numbers of
+its own -- BASELINE.md).
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
-``vs_baseline`` is value / 100, i.e. the multiple of the BASELINE.json
-north-star target of >=100x realtime per chip (the reference records no
-throughput numbers of its own -- BASELINE.md).
+``--all`` additionally measures the other BASELINE.json configs (one JSON
+line each, after the canonical line): STFT+gap preprocessing, CNN+BiLSTM
+inference, classical Janssen inference, and CNN+BiLSTM training throughput.
 """
 
 import json
+import sys
 import time
 
 import numpy as np
+
+
+def _measure(fn, *args, iters=10, warmup=1):
+    """Median-of-iters wall time; materializes the output each call (on the
+    tunneled axon platform ``block_until_ready`` returns early, so host
+    materialization is the only honest completion barrier)."""
+    for _ in range(warmup):
+        np.asarray(fn(*args))
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        np.asarray(fn(*args))
+    return (time.perf_counter() - t0) / iters
 
 
 def main() -> None:
@@ -24,11 +40,12 @@ def main() -> None:
     import jax
     import jax.numpy as jnp
 
-    from ml_audio_inpainting_tpu.models.pconv_unet import PConvUNet
-    from ml_audio_inpainting_tpu.runtime.inference import make_gan_inpaint_fn
-    from ml_audio_inpainting_tpu.utils.config import Config, SpectrogramConfig
     from ml_audio_inpainting_tpu.data.dataset import SyntheticSpeechDataset
+    from ml_audio_inpainting_tpu.runtime.inference import make_gan_inpaint_fn
     from ml_audio_inpainting_tpu.train.gan_trainer import build_generator
+    from ml_audio_inpainting_tpu.utils.config import Config, SpectrogramConfig
+
+    run_all = "--all" in sys.argv
 
     cfg = Config()
     cfg.data.spectrogram = SpectrogramConfig(n_fft=512, hop_length=128, win_length=512)
@@ -50,23 +67,8 @@ def main() -> None:
     )
     fn = make_gan_inpaint_fn(cfg, gen)
 
-    # Warmup / compile.  NOTE: on the tunneled axon platform
-    # ``block_until_ready`` returns before execution completes, so every
-    # timed iteration materializes the output on the host (np.asarray) --
-    # this measures honest end-to-end serving latency including the
-    # device->host audio transfer.
-    restored, _ = fn(variables, audio, gap_start, gap_len)
-    np.asarray(restored)
-
-    iters = 10
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        restored, _ = fn(variables, audio, gap_start, gap_len)
-        np.asarray(restored)
-    elapsed = time.perf_counter() - t0
-
-    audio_seconds = batch * clip_s * iters
-    value = audio_seconds / elapsed
+    dt = _measure(lambda: fn(variables, audio, gap_start, gap_len)[0], iters=10)
+    value = batch * clip_s / dt
     print(
         json.dumps(
             {
@@ -77,6 +79,69 @@ def main() -> None:
             }
         )
     )
+
+    if not run_all:
+        return
+
+    def emit(metric, value, unit):
+        print(json.dumps({"metric": metric, "value": round(value, 2), "unit": unit}))
+
+    import functools
+
+    from ml_audio_inpainting_tpu.classical.janssen import janssen_gapwise
+    from ml_audio_inpainting_tpu.ops import apply_gap, gap_mask, log1p_norm, stft
+    from ml_audio_inpainting_tpu.runtime.inference import make_cnn_inpaint_fn
+    from ml_audio_inpainting_tpu.train.cnn_trainer import (
+        build_model,
+        create_cnn_state,
+        make_cnn_train_step,
+    )
+
+    # BASELINE config #1: STFT + gap-mask preprocessing.
+    @jax.jit
+    def preprocess(a, gs, gl):
+        masks = jax.vmap(lambda s, l: gap_mask(a.shape[-1], s, l))(gs, gl)
+        spec = stft(apply_gap(a, masks), n_fft=512, hop_length=128, win_length=512)
+        return log1p_norm(jnp.abs(spec))
+
+    dt = _measure(lambda: preprocess(audio, gap_start, gap_len), iters=10)
+    emit("stft_preprocess_audio_seconds_per_sec", batch * clip_s / dt, "s_audio/s/chip")
+
+    # BASELINE config #2: CNN+BiLSTM inference + iSTFT reconstruction.
+    ccfg = Config()
+    ccfg.data.spectrogram = SpectrogramConfig(n_fft=512, hop_length=192, win_length=384)
+    ccfg.data.max_len_s = 5.0
+    cmodel = build_model(ccfg)
+    cstate = create_cnn_state(ccfg, jax.random.PRNGKey(0))
+    cvars = {"params": cstate.params, "batch_stats": cstate.batch_stats}
+    cfn = make_cnn_inpaint_fn(ccfg, cmodel)
+    dt = _measure(lambda: cfn(cvars, audio, gap_start, gap_len)[0], iters=10)
+    emit("cnn_blstm_inference_audio_seconds_per_sec", batch * clip_s / dt, "s_audio/s/chip")
+
+    # BASELINE config #3: classical AR (gap-wise Janssen) inference.
+    tmask = jax.vmap(lambda s, l: gap_mask(audio.shape[-1], s, l))(gap_start, gap_len)
+    solver = jax.jit(
+        jax.vmap(
+            functools.partial(janssen_gapwise, p=256, maxit=5, max_gap=2048)
+        )
+    )
+    dt = _measure(
+        lambda: solver(audio * tmask, tmask, gap_start, gap_len), iters=3
+    )
+    emit("janssen_inference_audio_seconds_per_sec", batch * clip_s / dt, "s_audio/s/chip")
+
+    # BASELINE config #5: CNN+BiLSTM training throughput.
+    step = make_cnn_train_step(ccfg)
+    state = cstate
+
+    def one_step():
+        nonlocal state
+        state, metrics = step(state, audio, jax.random.PRNGKey(0))
+        return metrics["loss"]
+
+    dt = _measure(one_step, iters=5)
+    emit("cnn_blstm_train_steps_per_sec", 1.0 / dt, "steps/s")
+    emit("cnn_blstm_train_audio_seconds_per_sec", batch * clip_s / dt, "s_audio/s/chip")
 
 
 if __name__ == "__main__":
