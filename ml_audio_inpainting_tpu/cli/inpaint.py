@@ -39,6 +39,10 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--maxit", type=int, default=10)
     p.add_argument("--ar-method", choices=["lpc", "arburg"], default="lpc")
     p.add_argument("--batch-size", type=int, default=8)
+    p.add_argument("--longform", action="store_true",
+                   help="inpaint audio of any duration (neural models): "
+                        "overlapping model-native windows + OLA "
+                        "(runtime/longform.py); the gap may be anywhere")
     return p
 
 
@@ -78,6 +82,32 @@ def main(argv=None) -> None:
     n_samples = cfg.data.max_samples
 
     run_fn = _build_runner(args, cfg, n_samples)
+
+    if args.longform:
+        if not hasattr(run_fn, "inpaint_fn"):
+            raise SystemExit("--longform requires a neural model (gan/cnn_blstm)")
+        from ml_audio_inpainting_tpu.data.audio_io import read_audio, resample
+        from ml_audio_inpainting_tpu.runtime.longform import longform_inpaint
+
+        for f in files:
+            samples, rate, _ = read_audio(f)
+            mono = samples.mean(axis=1) if samples.shape[1] > 1 else samples[:, 0]
+            mono = resample(mono.astype(np.float32), rate, sr)
+            restored = np.asarray(
+                longform_inpaint(
+                    run_fn.inpaint_fn, run_fn.variables, jnp.asarray(mono),
+                    gap_start, gap_len,
+                    window=n_samples, hop=n_samples // 2,
+                    batch_size=args.batch_size,
+                )
+            )
+            dest = (
+                out_path / f"{f.stem}_{args.model}_inpainted.flac"
+                if out_is_dir else out_path
+            )
+            save_audio(restored, dest, sr)
+            print(f"{f} ({len(mono)/sr:.1f}s) -> {dest}")
+        return
 
     for i in range(0, len(files), args.batch_size):
         chunk = files[i : i + args.batch_size]
@@ -156,6 +186,9 @@ def _build_runner(args, cfg, n_samples: int):
             restored, _ = fn(variables, audio, gs, gl)
             return restored
 
+        # Expose the raw pieces for the long-form driver.
+        runner.inpaint_fn = fn
+        runner.variables = variables
         return runner
 
     # Classical solvers: vmap over the batch.
