@@ -25,8 +25,6 @@ TPU-first design decisions:
 from __future__ import annotations
 
 import functools
-from typing import Tuple
-
 import jax
 import jax.numpy as jnp
 

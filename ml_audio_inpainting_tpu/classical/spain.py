@@ -24,8 +24,6 @@ TPU-first notes:
 from __future__ import annotations
 
 import functools
-from typing import Tuple
-
 import jax
 import jax.numpy as jnp
 

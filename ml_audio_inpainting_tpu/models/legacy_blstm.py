@@ -18,8 +18,6 @@ apply after the recurrence.
 from __future__ import annotations
 
 import math
-from typing import Sequence
-
 import jax.numpy as jnp
 from flax import linen as nn
 

@@ -20,8 +20,6 @@ ported weight-for-weight.
 
 from __future__ import annotations
 
-from typing import Sequence
-
 import jax
 import jax.numpy as jnp
 from flax import linen as nn

@@ -19,7 +19,6 @@ from __future__ import annotations
 from typing import Any, Callable, Tuple
 
 import jax
-import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ml_audio_inpainting_tpu.parallel.mesh import batch_sharding, replicated

@@ -21,8 +21,7 @@ Two fidelity modes for the GAN:
 
 from __future__ import annotations
 
-import functools
-from typing import Callable, Dict, Optional, Tuple
+from typing import Callable
 
 import jax
 import jax.numpy as jnp

@@ -13,7 +13,7 @@ step + PRNG key.
 from __future__ import annotations
 
 from pathlib import Path
-from typing import Any, Dict, Optional, Union
+from typing import Any, Optional, Union
 
 import jax
 import orbax.checkpoint as ocp

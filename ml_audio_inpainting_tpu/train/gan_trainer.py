@@ -18,7 +18,7 @@ discriminator BCE step on real vs detached-fake, (2) a generator step on the
 
 from __future__ import annotations
 
-from typing import Any, Callable, Dict, Optional, Tuple
+from typing import Any, Callable, Optional, Tuple
 
 import jax
 import jax.numpy as jnp

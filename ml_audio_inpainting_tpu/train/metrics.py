@@ -11,9 +11,6 @@ perceptual-class score, plus log-spectral distance and spectral convergence.
 
 from __future__ import annotations
 
-from typing import Optional
-
-import jax
 import jax.numpy as jnp
 
 from ml_audio_inpainting_tpu.ops.stft import stft

@@ -12,7 +12,7 @@ per-iteration loop.
 
 from __future__ import annotations
 
-from typing import Optional, Tuple
+from typing import Tuple
 
 import numpy as np
 
