@@ -11,6 +11,7 @@ from ml_audio_inpainting_tpu.classical.basisopt import (
     aspain_learned,
     hard_threshold_columns,
     optimize_basis,
+    sspain_learned,
 )
 from ml_audio_inpainting_tpu.classical.janssen import janssen, janssen_gapwise
 from ml_audio_inpainting_tpu.classical.ola import ola_windows, segmentation_inpaint
@@ -27,6 +28,7 @@ __all__ = [
     "aspain_learned",
     "hard_threshold_columns",
     "optimize_basis",
+    "sspain_learned",
     "janssen",
     "janssen_gapwise",
     "ola_windows",

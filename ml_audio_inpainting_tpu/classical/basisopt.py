@@ -30,7 +30,12 @@ import optax
 
 from ml_audio_inpainting_tpu.ops.stft import istft, stft
 
-__all__ = ["optimize_basis", "hard_threshold_columns", "aspain_learned"]
+__all__ = [
+    "optimize_basis",
+    "hard_threshold_columns",
+    "aspain_learned",
+    "sspain_learned",
+]
 
 
 def _banded_hermitian(diag: jnp.ndarray, off: jnp.ndarray) -> jnp.ndarray:
@@ -190,4 +195,63 @@ def aspain_learned(
         jnp.asarray(jnp.inf, jnp.float32), jnp.zeros((), bool),
     )
     (_, _, _, _, best, _, _), _ = jax.lax.scan(body, init, jnp.arange(maxit))
+    return best
+
+
+@functools.partial(
+    jax.jit, static_argnames=("maxit", "s", "r", "n_fft", "hop_length", "win_length")
+)
+def sspain_learned(
+    gapped: jnp.ndarray,
+    mask: jnp.ndarray,
+    basis: jnp.ndarray,
+    maxit: int = 100,
+    s: int = 1,
+    r: int = 1,
+    epsilon: float = 1e-3,
+    n_fft: int = 512,
+    hop_length: int = 128,
+    win_length: int = 512,
+) -> jnp.ndarray:
+    """S-SPAIN over learned-basis STFT coefficients (``s_spain_learned.m``,
+    'H' f-update): threshold in the synthesis-side problem
+    ``z_bar = H_k(A(x - u))``, project, dual-update in the time domain."""
+    n = gapped.shape[-1]
+    Bh = jnp.conj(basis).T
+
+    def ana(x):
+        return basis @ stft(x, n_fft=n_fft, hop_length=hop_length, win_length=win_length)
+
+    def syn(z):
+        return istft(
+            Bh @ z, n_fft=n_fft, hop_length=hop_length, win_length=win_length, length=n
+        )
+
+    x0 = jnp.where(mask > 0, gapped, 0.0)
+    u0 = jnp.zeros_like(x0)
+
+    def body(carry, it):
+        x_hat, u, k, best, best_obj, done = carry
+        z_bar = hard_threshold_columns(ana(x_hat - u), k)
+        xEst = syn(z_bar)
+        obj = jnp.linalg.norm(xEst - x_hat)
+        improved = (obj <= best_obj) & ~done
+        best = jnp.where(improved, x_hat, best)
+        best_obj = jnp.where(improved, obj, best_obj)
+        done = done | (obj <= epsilon)
+
+        x_new = jnp.where(mask > 0, x0, xEst + u)
+        u_new = u + xEst - x_new
+        k_new = jnp.where((it + 2) % r == 0, k + s, k)
+
+        x_hat = jnp.where(done, x_hat, x_new)
+        u = jnp.where(done, u, u_new)
+        k = jnp.where(done, k, k_new)
+        return (x_hat, u, k, best, best_obj, done), None
+
+    init = (
+        x0, u0, jnp.asarray(s), x0,
+        jnp.asarray(jnp.inf, jnp.float32), jnp.zeros((), bool),
+    )
+    (_, _, _, best, _, _), _ = jax.lax.scan(body, init, jnp.arange(maxit))
     return best

@@ -93,3 +93,27 @@ class TestPhaseMode:
         o = np.asarray(out)
         # outside the gap: input recombined to complex 0.5 + 0.5j
         np.testing.assert_allclose(o[:, :, 0], 0.5 + 0.5j, atol=1e-6)
+
+
+class TestSspainLearned:
+    def test_inpaints_tone_and_preserves_reliable(self):
+        import numpy as np
+
+        from ml_audio_inpainting_tpu.classical.basisopt import sspain_learned
+
+        sr = 16000
+        t = np.arange(8192) / sr
+        sig = np.sin(2 * np.pi * 600 * t).astype(np.float32)
+        start, length = 4000, 240
+        mask = np.ones_like(sig)
+        mask[start : start + length] = 0
+        B = jnp.eye(257, dtype=jnp.complex64)
+        out = sspain_learned(
+            jnp.asarray(sig * mask), jnp.asarray(mask), B, maxit=50,
+            n_fft=512, hop_length=128, win_length=512,
+        )
+        r = np.asarray(out)
+        np.testing.assert_allclose(r[:start], sig[:start], atol=1e-5)
+        seg = r[start : start + length]
+        assert np.max(np.abs(seg)) > 0.1  # gap filled with signal
+        assert np.all(np.isfinite(r))
