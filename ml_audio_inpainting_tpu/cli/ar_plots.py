@@ -25,6 +25,10 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--output", default="ar_results.png")
     p.add_argument("--per-iteration", action="store_true",
                    help="also plot janssen SDR vs iteration for each order")
+    p.add_argument("--scatter", nargs=2, metavar=("METHOD_X", "METHOD_Y"),
+                   default=None,
+                   help="per-signal scatter of one method against another "
+                        "(maintest_scatter.m equivalent)")
     return p
 
 
@@ -77,6 +81,29 @@ def main(argv=None) -> None:
     fig.tight_layout()
     fig.savefig(args.output, dpi=120)
     print(f"wrote {args.output}")
+
+    if args.scatter:
+        mx, my = args.scatter
+        fig3, ax3 = plt.subplots(figsize=(6, 6))
+        for entry in results:
+            if args.estimator and entry["estimator"] != args.estimator:
+                continue
+            if mx not in entry["methods"] or my not in entry["methods"]:
+                continue
+            xs = entry["methods"][mx][args.metric]
+            ys = entry["methods"][my][args.metric]
+            ax3.scatter(xs, ys, label=f"p={entry['p']} {entry['estimator']}", alpha=0.7)
+        lims = ax3.get_xlim() + ax3.get_ylim()
+        lo, hi = min(lims), max(lims)
+        ax3.plot([lo, hi], [lo, hi], "k--", linewidth=0.8)  # y = x reference
+        ax3.set_xlabel(f"{mx} {args.metric}")
+        ax3.set_ylabel(f"{my} {args.metric}")
+        ax3.legend()
+        ax3.set_title(f"Per-signal {args.metric}: {my} vs {mx}")
+        out3 = Path(args.output).with_suffix(".scatter.png")
+        fig3.tight_layout()
+        fig3.savefig(out3, dpi=120)
+        print(f"wrote {out3}")
 
     if args.per_iteration:
         fig2, ax2 = plt.subplots(figsize=(8, 5))
