@@ -86,6 +86,18 @@ def main() -> None:
     def emit(metric, value, unit):
         print(json.dumps({"metric": metric, "value": round(value, 2), "unit": unit}))
 
+    # Pipelined serving throughput: dispatch every batch first, then drain all
+    # outputs -- device compute overlaps host transfers, which is how a real
+    # serving loop consumes results.  (The canonical metric above serializes
+    # transfer after compute per batch: a strict lower bound.)
+    iters = 10
+    t0 = time.perf_counter()
+    outs = [fn(variables, audio, gap_start, gap_len)[0] for _ in range(iters)]
+    for o in outs:
+        np.asarray(o)
+    dt_pipe = (time.perf_counter() - t0) / iters
+    emit("pipelined_inference_audio_seconds_per_sec", batch * clip_s / dt_pipe, "s_audio/s/chip")
+
     import functools
 
     from ml_audio_inpainting_tpu.classical.janssen import janssen_gapwise

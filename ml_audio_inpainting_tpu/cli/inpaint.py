@@ -21,7 +21,10 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-CLASSICAL = ("janssen", "arinpaint", "segmentation", "aspain", "sspain")
+CLASSICAL = (
+    "janssen", "arinpaint", "segmentation", "aspain", "sspain",
+    "aspain_learned", "sspain_learned",
+)
 
 
 def build_argparser() -> argparse.ArgumentParser:
@@ -39,6 +42,9 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--maxit", type=int, default=10)
     p.add_argument("--ar-method", choices=["lpc", "arburg"], default="lpc")
     p.add_argument("--batch-size", type=int, default=8)
+    p.add_argument("--basis", type=str, default=None,
+                   help="npz file with a unitary 'basis' matrix for the "
+                        "learned-SPAIN solvers (identity when omitted)")
     p.add_argument("--longform", action="store_true",
                    help="inpaint audio of any duration (neural models): "
                         "overlapping model-native windows + OLA "
@@ -234,6 +240,30 @@ def _build_runner(args, cfg, n_samples: int):
                     method=args.ar_method, max_gap=max_gap,
                 )
             )(audio, m, gs, gl)
+
+        return runner
+    if args.model in ("aspain_learned", "sspain_learned"):
+        from ml_audio_inpainting_tpu.classical.basisopt import (
+            aspain_learned,
+            sspain_learned,
+        )
+
+        spec = cfg.data.spectrogram
+        if getattr(args, "basis", None):
+            basis = jnp.asarray(np.load(args.basis)["basis"], jnp.complex64)
+        else:
+            basis = jnp.eye(spec.freq_bins, dtype=jnp.complex64)
+        core = aspain_learned if args.model == "aspain_learned" else sspain_learned
+
+        def runner(audio, gs, gl):
+            m = masks(audio, gs, gl)
+            return jax.vmap(
+                lambda x, mm: core(
+                    x * mm, mm, basis, maxit=max(args.maxit, 100),
+                    n_fft=spec.n_fft, hop_length=spec.hop_length,
+                    win_length=spec.win_length,
+                )
+            )(audio, m)
 
         return runner
     # aspain / sspain
