@@ -149,3 +149,23 @@ class TestInpaintCLI:
         # the gap region should NOT be silent after inpainting a pure tone
         seg = audio[int(0.41 * 16000) : int(0.44 * 16000), 0]
         assert np.max(np.abs(seg)) > 0.01
+
+
+class TestLearnedSpainCLI:
+    def test_aspain_learned_inpaint(self, tmp_path, tiny_corpus):
+        from ml_audio_inpainting_tpu.cli.inpaint import main
+
+        src = next(iter(sorted(tiny_corpus.glob("*.flac"))))
+        out = tmp_path / "sp.flac"
+        main(
+            [
+                "--model", "aspain_learned", "--input", str(src), "--output", str(out),
+                "--gap-start", "0.4", "--gap-len", "0.05", "--maxit", "30",
+            ]
+        )
+        from ml_audio_inpainting_tpu.data.audio_io import read_audio
+
+        audio, rate, _ = read_audio(out)
+        assert rate == 16000
+        seg = audio[int(0.41 * 16000) : int(0.44 * 16000), 0]
+        assert np.max(np.abs(seg)) > 0.01  # gap filled
