@@ -38,7 +38,151 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--ar-method", choices=["lpc", "arburg"], default="lpc")
     p.add_argument("--mode", choices=["parity", "enhanced"], default="parity")
     p.add_argument("--batch-size", type=int, default=16)
+    p.add_argument(
+        "--golden", type=str, default=None,
+        help="directory of the reference's shipped reconstructions "
+        "(test_samples_reconstructed/): score them with this metric stack, "
+        "check the recorded model_comparison.mat scalars reproduce, and "
+        "compare this framework's outputs against those files "
+        "(gap-SDR deltas + spectrogram L2)",
+    )
     return p
+
+
+#: model_comparison.mat scalars (decoded in SURVEY.md §6), written by
+#: ``model_eval.m:60,84`` for the anchor clip 81-121543-0008.flac.
+RECORDED_GAP_SDR = {"cnnlstm": -2.12, "gan": -1.39}
+GOLDEN_ANCHOR = "81-121543-0008"
+GOLDEN_TAGS = ("gan", "cnnlstm")
+#: our model names -> the reference's reconstruction filename tag
+GOLDEN_TAG_OF_MODEL = {"gan": "gan", "cnn_blstm": "cnnlstm"}
+
+
+def matlab_gap_slice(sr: int, gap_start_s: float, gap_len_s: float) -> slice:
+    """The eval-gap sample range exactly as ``model_eval.m:33-36`` builds it:
+    MATLAB 1-based inclusive ``temp(fs*2.0 : fs*2.08) = 0``."""
+    start = int(sr * gap_start_s) - 1  # 1-based -> 0-based
+    end = int(sr * (gap_start_s + gap_len_s))  # inclusive endpoint
+    return slice(start, end + 1)
+
+
+def golden_gap_sdr(clean: np.ndarray, restored: np.ndarray, gap: slice) -> float:
+    """``snr(signal(gap), signal(gap)-solution(gap))`` (``model_eval.m:60``)."""
+    err = clean[..., gap] - restored[..., gap]
+    num = float(np.sum(clean[..., gap] ** 2))
+    return 10.0 * float(np.log10(num / (np.sum(err**2) + 1e-12)))
+
+
+def _spec_l2(a: np.ndarray, b: np.ndarray) -> float:
+    """RMS distance between log1p-magnitude spectrograms, always in the GAN
+    feature domain (n_fft 512 / hop 128 / win 512, reference
+    ``models/GAN/dataset.py:122`` + ``config.yaml:12-15``) so the number is
+    comparable across model configs."""
+    from ml_audio_inpainting_tpu.ops import stft
+
+    kw = dict(n_fft=512, hop_length=128, win_length=512)
+    A = np.log1p(np.abs(np.asarray(stft(jnp.asarray(a), **kw))))
+    B = np.log1p(np.abs(np.asarray(stft(jnp.asarray(b), **kw))))
+    return float(np.sqrt(np.mean((A - B) ** 2)))
+
+
+def run_golden(args, cfg, files, clean: np.ndarray) -> dict:
+    """Score the reference's shipped reconstructions and (optionally) this
+    framework's models against them.  Returns the JSON payload."""
+    from ml_audio_inpainting_tpu.cli.inpaint import _build_runner
+    from ml_audio_inpainting_tpu.data.audio_io import load_audio
+
+    sr = cfg.data.sample_rate
+    golden_dir = Path(args.golden)
+    gap = matlab_gap_slice(sr, args.gap_start, args.gap_len)
+
+    reference_outputs: dict = {}
+    ref_audio: dict = {}
+    for tag in GOLDEN_TAGS:
+        per_file = {}
+        ref_audio[tag] = {}
+        for j, f in enumerate(files):
+            path = golden_dir / f"{f.stem}_{tag}_inpainted.flac"
+            if not path.exists():
+                continue
+            rec = np.asarray(
+                load_audio(path, sample_rate=sr, max_len=cfg.data.max_len_s)[0]
+            )
+            ref_audio[tag][f.stem] = rec
+            per_file[f.stem] = round(golden_gap_sdr(clean[j], rec, gap), 3)
+        if per_file:
+            reference_outputs[tag] = {
+                "gap_sdr_db": per_file,
+                "mean_gap_sdr_db": round(float(np.mean(list(per_file.values()))), 3),
+            }
+
+    anchor_check = {
+        tag: {
+            "recomputed_gap_sdr_db": reference_outputs[tag]["gap_sdr_db"].get(
+                GOLDEN_ANCHOR
+            ),
+            "recorded_gap_sdr_db": RECORDED_GAP_SDR[tag],
+        }
+        for tag in GOLDEN_TAGS
+        if tag in reference_outputs
+        and GOLDEN_ANCHOR in reference_outputs[tag]["gap_sdr_db"]
+    }
+
+    ours: dict = {}
+    B = len(files)
+    gs = jnp.full((B,), int(args.gap_start * sr), jnp.int32)
+    gl = jnp.full((B,), int(args.gap_len * sr), jnp.int32)
+    for model_name in args.models:
+        m_args = argparse.Namespace(**vars(args))
+        m_args.model = model_name
+        runner = _build_runner(m_args, cfg, clean.shape[-1])
+        restored = np.asarray(runner(jnp.asarray(clean), gs, gl))
+        per_file = {
+            f.stem: round(golden_gap_sdr(clean[j], restored[j], gap), 3)
+            for j, f in enumerate(files)
+        }
+        entry = {
+            "gap_sdr_db": per_file,
+            "mean_gap_sdr_db": round(float(np.mean(list(per_file.values()))), 3),
+        }
+        for tag in reference_outputs:
+            deltas = {
+                stem: round(
+                    per_file[stem] - reference_outputs[tag]["gap_sdr_db"][stem], 3
+                )
+                for stem in per_file
+                if stem in reference_outputs[tag]["gap_sdr_db"]
+            }
+            l2 = {
+                f.stem: round(_spec_l2(restored[j], ref_audio[tag][f.stem]), 4)
+                for j, f in enumerate(files)
+                if f.stem in ref_audio[tag]
+            }
+            entry[f"delta_gap_sdr_vs_{tag}_db"] = deltas
+            entry[f"mean_delta_vs_{tag}_db"] = round(
+                float(np.mean(list(deltas.values()))), 3
+            )
+            entry[f"spec_l2_vs_{tag}"] = l2
+        ours[model_name] = entry
+
+    return {
+        "condition": {
+            "gap_start_s": args.gap_start,
+            "gap_len_s": args.gap_len,
+            "gap_slice": [gap.start, gap.stop],
+            "gap_convention": "model_eval.m:33-36 (MATLAB 1-based inclusive)",
+            "files": [f.name for f in files],
+            "golden_dir": str(golden_dir),
+        },
+        "recorded_model_comparison": {
+            "anchor": GOLDEN_ANCHOR,
+            "gap_sdr_db": RECORDED_GAP_SDR,
+            "source": "model_comparison.mat via model_eval.m:60 (SURVEY.md §6)",
+        },
+        "anchor_check": anchor_check,
+        "reference_outputs": reference_outputs,
+        "ours": ours,
+    }
 
 
 def main(argv=None) -> None:
@@ -67,6 +211,26 @@ def main(argv=None) -> None:
     B = len(files)
     gs = jnp.full((B,), int(args.gap_start * sr), jnp.int32)
     gl = jnp.full((B,), int(args.gap_len * sr), jnp.int32)
+    if args.golden:
+        payload = run_golden(args, cfg, files, clean)
+        for tag, chk in payload["anchor_check"].items():
+            print(
+                f"golden anchor {tag}: recomputed "
+                f"{chk['recomputed_gap_sdr_db']} dB vs recorded "
+                f"{chk['recorded_gap_sdr_db']} dB"
+            )
+        for name, entry in payload["ours"].items():
+            line = f"{name}: mean gap-SDR {entry['mean_gap_sdr_db']} dB"
+            for tag in GOLDEN_TAGS:
+                k = f"mean_delta_vs_{tag}_db"
+                if k in entry:
+                    line += f", vs {tag} {entry[k]:+} dB"
+            print(line)
+        if args.output_json:
+            Path(args.output_json).write_text(json.dumps(payload, indent=2))
+            print(f"wrote {args.output_json}")
+        return
+
     tmask = jax.vmap(lambda s, l: gap_mask(clean.shape[-1], s, l))(gs, gl)
     gapm = 1.0 - tmask
 
