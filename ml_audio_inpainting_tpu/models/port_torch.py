@@ -18,8 +18,9 @@ natively on TPU.  Layout conversions:
 
 from __future__ import annotations
 
-from typing import Dict, Tuple
+from typing import Dict, Optional, Tuple
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -128,16 +129,21 @@ def load_torch_pconv_unet(
 
 
 def load_torch_cnn_blstm(
-    path: str, freq_bins: int = 257, use_pallas_lstm: bool = False
+    path: str, freq_bins: int = 257, use_pallas_lstm: Optional[bool] = None
 ) -> Tuple[StackedBLSTMCNN, Dict]:
     """Load a reference CNNBLSTM ``state_dict`` -> ``(model, variables)``.
 
     Architecture hyperparameters (hidden dim, layer count, global-pool
     lineage) are inferred from the tensor shapes, so both the current
     reference architecture (``model.py:16-107``) and the v2 global-pool
-    lineage load transparently.
+    lineage load transparently.  ``use_pallas_lstm=None`` auto-selects: the
+    Pallas recurrence on TPU, XLA scan elsewhere (matching
+    ``cnn_trainer.build_model``).
     """
     import torch
+
+    if use_pallas_lstm is None:
+        use_pallas_lstm = jax.default_backend() == "tpu"
 
     sd = torch.load(path, map_location="cpu", weights_only=True)
     if hasattr(sd, "state_dict"):
