@@ -17,6 +17,10 @@ TPU-first notes:
   formulation instead of a static top-k.
 * The reference's per-block ``fftshift`` is a pure phase rotation of DFT
   coefficients (magnitudes unchanged), so it is dropped.
+* S-SPAIN supports both f-update approximations (``sspain.m:4-6``): 'H'
+  (hard thresholding) and 'OMP' (:func:`omp_approximation` -- greedy
+  conjugate-pair selection + least-squares re-fit over an oversampled DFT
+  dictionary, as a fixed-length ``fori_loop`` with a static Cholesky).
 * Early termination (``objVal <= epsilon``) becomes a freeze flag inside a
   static-length ``lax.scan`` -- uniform compute, fused end to end.
 """
@@ -29,7 +33,13 @@ import jax.numpy as jnp
 
 from ml_audio_inpainting_tpu.classical.ola import ola_windows
 
-__all__ = ["hard_threshold_dft", "aspain_core", "sspain_core", "spain_inpaint"]
+__all__ = [
+    "hard_threshold_dft",
+    "omp_approximation",
+    "aspain_core",
+    "sspain_core",
+    "spain_inpaint",
+]
 
 
 def _frana(x: jnp.ndarray) -> jnp.ndarray:
@@ -109,7 +119,79 @@ def aspain_core(
     return best
 
 
-@functools.partial(jax.jit, static_argnames=("maxit", "s", "r"))
+def omp_approximation(
+    sdata: jnp.ndarray, k: jnp.ndarray, max_k: int, redundancy: int = 2
+) -> jnp.ndarray:
+    """Orthogonal matching pursuit over the oversampled DFT pair dictionary.
+
+    The reference's OMP f-update is ``franamp(param.F, s, 'omp', 'qr',
+    'maxit', k)`` with conjugate atoms (``sspain.m:6,62``): greedily select
+    ``k`` conjugate-symmetric atom pairs, re-fitting all coefficients by
+    least squares after every selection.  Here the (real-signal) dictionary
+    is the pair family ``{cos(2*pi*j*n/M), sin(2*pi*j*n/M)}``,
+    ``M = redundancy * w`` -- at ``redundancy=1`` this is the same frame as
+    :func:`hard_threshold_dft` (where OMP coincides with thresholding, the
+    dictionary being orthogonal); oversampling makes OMP strictly more
+    expressive on off-grid content.
+
+    TPU-first shape discipline: a fixed ``max_k`` selection loop with
+    freeze-at-``k`` semantics (the traced ``k`` grows across S-SPAIN
+    iterations), selection via one ``rfft`` of the residual per step, and
+    the LS re-fit as a static ``(2*max_k, 2*max_k)`` Cholesky solve with
+    identity padding on empty/zero-norm slots.
+
+    Returns the LS approximation ``xEst`` (the reference's
+    ``frsyn(z_bar)``).
+    """
+    w = sdata.shape[-1]
+    M = redundancy * w
+    nhalf = M // 2 + 1
+    dtype = sdata.dtype
+    n = jnp.arange(w, dtype=dtype)
+    kc = jnp.clip(k, 1, max_k)
+    eye2k = jnp.eye(2 * max_k, dtype=dtype)
+
+    def build_ls(sel):
+        """LS re-fit on the selected pair bins (sel: (max_k,) int, -1 = empty)."""
+        valid = (sel >= 0).astype(dtype)
+        angles = (2.0 * jnp.pi / M) * jnp.clip(sel, 0, None).astype(dtype)[:, None] * n
+        A = jnp.concatenate(
+            [jnp.cos(angles) * valid[:, None], jnp.sin(angles) * valid[:, None]]
+        )  # (2*max_k, w)
+        G = A @ A.T
+        # Empty slots and zero-norm atoms (sin at DC/Nyquist) -> unit diagonal.
+        diag = jnp.diagonal(G)
+        G = G + eye2k * jnp.where(diag < 1e-9, 1.0, 1e-7 * jnp.maximum(diag, 1.0))
+        rhs = A @ sdata
+        L = jnp.linalg.cholesky(G)
+        z = jax.scipy.linalg.cho_solve((L, True), rhs)
+        return A.T @ z
+
+    def step(i, carry):
+        sel, taken, approx = carry
+        resid = sdata - approx
+        rc = jnp.fft.rfft(resid, n=M)
+        energy = jnp.where(taken, -jnp.inf, jnp.abs(rc))
+        j = jnp.argmax(energy).astype(jnp.int32)
+        active = i < kc
+        sel = sel.at[i].set(jnp.where(active, j, jnp.int32(-1)))
+        taken = taken.at[j].set(taken[j] | active)
+        new_approx = build_ls(sel)
+        approx = jnp.where(active, new_approx, approx)
+        return sel, taken, approx
+
+    sel0 = jnp.full((max_k,), -1, jnp.int32)
+    taken0 = jnp.zeros((nhalf,), bool)
+    with jax.default_matmul_precision("highest"):
+        _, _, approx = jax.lax.fori_loop(
+            0, max_k, step, (sel0, taken0, jnp.zeros_like(sdata))
+        )
+    return approx
+
+
+@functools.partial(
+    jax.jit, static_argnames=("maxit", "s", "r", "f_update", "max_k", "redundancy")
+)
 def sspain_core(
     gapped: jnp.ndarray,
     mask: jnp.ndarray,
@@ -117,19 +199,29 @@ def sspain_core(
     s: int = 1,
     r: int = 1,
     epsilon: float = 1e-3,
+    f_update: str = "h",
+    max_k: int = 32,
+    redundancy: int = 2,
 ) -> jnp.ndarray:
-    """S-SPAIN with the 'H' (hard-thresholding) f-update (``sspain.m:44-100``).
+    """S-SPAIN (``sspain.m:44-100``) with either f-update approximation:
 
-    The OMP f-update variant is not implemented (it is the reference's slow
-    path and noted there as such).
+    * ``f_update="h"``: hard thresholding of the unitary DFT coefficients
+      (``sspain.m:61``).
+    * ``f_update="omp"``: orthogonal matching pursuit with conjugate atom
+      pairs over the ``redundancy``-times oversampled DFT dictionary
+      (``sspain.m:62``), capped at ``max_k`` pairs.
     """
     x0 = jnp.where(mask > 0, gapped, 0.0)
     u0 = jnp.zeros_like(x0)
 
+    def f_update_fn(sig, k):
+        if f_update == "omp":
+            return omp_approximation(sig, k, max_k=max_k, redundancy=redundancy)
+        return _frsyn(hard_threshold_dft(_frana(sig), k))
+
     def body(carry, it):
         x_hat, u, k, best, best_obj, done = carry
-        z_bar = hard_threshold_dft(_frana(x_hat - u), k)
-        xEst = _frsyn(z_bar)
+        xEst = f_update_fn(x_hat - u, k)
         obj = jnp.linalg.norm(xEst - x_hat)
         improved = (obj <= best_obj) & ~done
         best = jnp.where(improved, x_hat, best)
@@ -171,6 +263,9 @@ def spain_inpaint(
 ) -> jnp.ndarray:
     """Segment-wise SPAIN over one contiguous gap (``spain_segmentation.m``).
 
+    ``algorithm``: ``"aspain"`` | ``"sspain"`` (H f-update) |
+    ``"sspain_omp"`` (OMP f-update).
+
     Only the (static) K windows that can touch the gap are processed -- as a
     batched SPAIN solve -- and reliable samples are restored verbatim at the
     end (``spain_segmentation.m:98-99``).
@@ -197,7 +292,12 @@ def spain_inpaint(
     seg_mask = jax.vmap(lambda st: gather(mp, st))(starts)
     any_miss = jnp.any(seg_mask <= 0, axis=-1)
 
-    core = aspain_core if algorithm == "aspain" else sspain_core
+    if algorithm == "aspain":
+        core = aspain_core
+    elif algorithm == "sspain_omp":
+        core = functools.partial(sspain_core, f_update="omp")
+    else:
+        core = sspain_core
     solved = jax.vmap(lambda d, m: core(d, m, maxit=maxit, s=s, r=r, epsilon=epsilon))(
         seg_data, seg_mask
     )

@@ -23,7 +23,8 @@ import numpy as np
 def build_argparser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(description="Evaluate inpainting models")
     p.add_argument("--models", nargs="+", required=True,
-                   help="any of: gan cnn_blstm janssen arinpaint segmentation aspain sspain")
+                   help="any of: gan cnn_blstm janssen arinpaint segmentation "
+                        "aspain sspain sspain_omp")
     p.add_argument("--config", type=str, default=None)
     p.add_argument("--checkpoint", type=str, default=None)
     p.add_argument("--input", type=str, default="/root/reference/test_samples",

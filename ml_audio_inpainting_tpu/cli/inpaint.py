@@ -8,7 +8,7 @@ paths, edit-to-configure).  This exposes it properly::
 
 Model families: ``gan``, ``cnn_blstm`` (checkpointed networks), and the
 classical solvers ``janssen``, ``arinpaint``, ``segmentation``, ``aspain``,
-``sspain`` (no checkpoint needed).
+``sspain``, ``sspain_omp`` (no checkpoint needed).
 """
 
 from __future__ import annotations
@@ -22,7 +22,7 @@ import jax.numpy as jnp
 import numpy as np
 
 CLASSICAL = (
-    "janssen", "arinpaint", "segmentation", "aspain", "sspain",
+    "janssen", "arinpaint", "segmentation", "aspain", "sspain", "sspain_omp",
     "aspain_learned", "sspain_learned",
 )
 
@@ -271,9 +271,10 @@ def _build_runner(args, cfg, n_samples: int):
 
     def runner(audio, gs, gl):
         m = masks(audio, gs, gl)
+        spain_maxit = max(args.maxit, 30 if args.model == "sspain_omp" else 100)
         return jax.vmap(
             lambda x, mm, s, l: spain_inpaint(
-                x * mm, mm, s, l, algorithm=args.model, maxit=max(args.maxit, 100),
+                x * mm, mm, s, l, algorithm=args.model, maxit=spain_maxit,
                 max_gap=max_gap,
             )
         )(audio, m, gs, gl)
