@@ -25,6 +25,9 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--config", type=str, default=None, help="YAML config path")
     p.add_argument("--data-root", type=str, default=None, help="override data.root_path")
     p.add_argument("--synthetic", type=int, default=0, help="use N synthetic clips instead of files")
+    p.add_argument("--corpus", choices=["formant", "harmonic"], default="formant",
+                   help="synthetic corpus style: formant-synthesized pseudo-speech "
+                        "(default) or the simple harmonic stack")
     p.add_argument("--epochs", type=int, default=None)
     p.add_argument("--batch-size", type=int, default=None)
     p.add_argument("--steps", type=int, default=None, help="hard cap on total steps")
@@ -39,11 +42,20 @@ def build_argparser() -> argparse.ArgumentParser:
     return p
 
 
+def _synthetic_cls(args):
+    from ml_audio_inpainting_tpu.data.dataset import (
+        FormantSpeechDataset,
+        SyntheticSpeechDataset,
+    )
+
+    return FormantSpeechDataset if args.corpus == "formant" else SyntheticSpeechDataset
+
+
 def make_dataset(cfg, args):
-    from ml_audio_inpainting_tpu.data.dataset import AudioFileDataset, SyntheticSpeechDataset
+    from ml_audio_inpainting_tpu.data.dataset import AudioFileDataset
 
     if args.synthetic:
-        return SyntheticSpeechDataset(
+        return _synthetic_cls(args)(
             n_items=args.synthetic,
             sample_rate=cfg.data.sample_rate,
             max_len_s=cfg.data.max_len_s,
@@ -99,9 +111,7 @@ def main(argv=None) -> None:
     valid_dataset = None
     if args.valid_every:
         if args.synthetic:
-            from ml_audio_inpainting_tpu.data.dataset import SyntheticSpeechDataset
-
-            valid_dataset = SyntheticSpeechDataset(
+            valid_dataset = _synthetic_cls(args)(
                 n_items=args.valid_batches * cfg.training.batch_size,
                 sample_rate=cfg.data.sample_rate,
                 max_len_s=cfg.data.max_len_s,

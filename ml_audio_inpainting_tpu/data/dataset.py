@@ -20,7 +20,12 @@ import numpy as np
 
 from ml_audio_inpainting_tpu.data.audio_io import load_audio
 
-__all__ = ["AudioFileDataset", "SyntheticSpeechDataset", "list_audio_files"]
+__all__ = [
+    "AudioFileDataset",
+    "SyntheticSpeechDataset",
+    "FormantSpeechDataset",
+    "list_audio_files",
+]
 
 AUDIO_EXTENSIONS = (".flac", ".wav")
 
@@ -120,3 +125,238 @@ class SyntheticSpeechDataset:
         env = 0.5 * (1 + np.sin(2 * np.pi * rng.uniform(1.0, 4.0) * t + rng.uniform(0, 2 * np.pi)))
         sig = env * sig + 0.01 * rng.standard_normal(self.max_samples)
         return (sig / np.max(np.abs(sig))).astype(np.float32)
+
+
+class FormantSpeechDataset:
+    """Formant-synthesized multi-speaker pseudo-speech (source-filter model).
+
+    A much closer stand-in for read speech than
+    :class:`SyntheticSpeechDataset`'s flat harmonic stack: each item is a
+    Klatt-style cascade synthesis -- a sawtooth glottal source with phrase
+    declination and jitter, driven through four time-varying formant
+    resonators whose targets change per syllable, interleaved with
+    fricative noise, plosive bursts, and silences in a syllabic rhythm.
+    The structure the inpainting models must learn (formant trajectories,
+    voiced/unvoiced alternation, pauses) is therefore actually present.
+
+    Exists because this environment has no LibriSpeech corpus (the
+    reference trains on a local train-clean-100 tree,
+    ``models/CNNBLSTM/cnn_blstm.yaml:12``); this is the honest
+    no-eval-overlap training corpus.  Items are deterministic in
+    ``(seed, idx)`` and RAM-cached (decode cost ~50 ms/item).
+    """
+
+    #: per-frame hop of the parameter tracks (10 ms at 16 kHz)
+    FRAME = 160
+
+    def __init__(
+        self,
+        n_items: int = 128,
+        sample_rate: int = 16000,
+        max_len_s: float = 5.0,
+        seed: int = 0,
+        cache: bool = True,
+    ):
+        self.n_items = n_items
+        self.sample_rate = sample_rate
+        self.max_samples = int(sample_rate * max_len_s)
+        self.seed = seed
+        self._cache: Optional[dict] = {} if cache else None
+
+    def __len__(self) -> int:
+        return self.n_items
+
+    # -- timeline ----------------------------------------------------------
+
+    def _build_tracks(self, rng):
+        """Frame-rate parameter tracks: voicing, gain, f0, formants, noise."""
+        sr = self.sample_rate
+        n_frames = self.max_samples // self.FRAME + 1
+
+        # Speaker identity.
+        f0_base = np.exp(rng.uniform(np.log(85.0), np.log(235.0)))
+        f_shift = rng.uniform(0.88, 1.18)  # vocal-tract length factor
+
+        voiced = np.zeros(n_frames)
+        gain = np.zeros(n_frames)
+        fric = np.zeros(n_frames)  # fricative/burst noise gain
+        fric_freq = np.full(n_frames, 4500.0)
+        f0 = np.full(n_frames, f0_base)
+        # Formant targets, filled per syllable then smoothed.
+        F = np.tile(np.array([500.0, 1500.0, 2500.0, 3600.0]), (n_frames, 1))
+
+        frame_s = self.FRAME / sr
+        t_f = 0  # current frame
+        while t_f < n_frames:
+            # Pause between phrases.
+            t_f += int(rng.uniform(0.08, 0.45) / frame_s)
+            if t_f >= n_frames:
+                break
+            # One phrase: 3-14 syllables with f0 declination.
+            n_syll = rng.integers(3, 15)
+            phrase_start = t_f
+            phrase_len_est = 0
+            for _ in range(n_syll):
+                if t_f >= n_frames:
+                    break
+                # Optional onset consonant.
+                c = rng.uniform()
+                if c < 0.22:  # plosive: silence then a short burst
+                    t_f += int(rng.uniform(0.03, 0.07) / frame_s)
+                    burst = max(1, int(rng.uniform(0.01, 0.03) / frame_s))
+                    e = min(n_frames, t_f + burst)
+                    fric[t_f:e] = rng.uniform(0.5, 1.0)
+                    fric_freq[t_f:e] = rng.uniform(1500.0, 6000.0)
+                    t_f = e
+                elif c < 0.50:  # fricative
+                    dur = max(1, int(rng.uniform(0.05, 0.14) / frame_s))
+                    e = min(n_frames, t_f + dur)
+                    ramp = np.minimum(np.arange(e - t_f) + 1, 4) / 4.0
+                    fric[t_f:e] = rng.uniform(0.15, 0.5) * ramp
+                    fric_freq[t_f:e] = rng.uniform(2800.0, 6500.0)
+                    t_f = e
+                # Voiced nucleus (vowel).
+                dur = max(2, int(rng.uniform(0.07, 0.24) / frame_s))
+                e = min(n_frames, t_f + dur)
+                if e <= t_f:
+                    break
+                f1 = rng.uniform(260.0, 850.0)
+                f2 = rng.uniform(f1 + 300.0, 2350.0)
+                f3 = rng.uniform(max(f2 + 350.0, 2300.0), 3200.0)
+                F[t_f:e, 0] = f1 * f_shift
+                F[t_f:e, 1] = f2 * f_shift
+                F[t_f:e, 2] = f3 * f_shift
+                F[t_f:e, 3] = rng.uniform(3400.0, 4000.0) * f_shift
+                voiced[t_f:e] = 1.0
+                # Attack / decay inside the syllable.
+                env = np.ones(e - t_f)
+                a = min(3, len(env))
+                env[:a] = np.linspace(0.3, 1.0, a)
+                env[-1] = 0.5
+                gain[t_f:e] = rng.uniform(0.45, 1.0) * env
+                phrase_len_est = t_f + dur - phrase_start
+                t_f = e
+            # Declination over the phrase.
+            pe = min(n_frames, phrase_start + max(phrase_len_est, 1))
+            decl = np.linspace(1.12, 0.85, pe - phrase_start)
+            f0[phrase_start:pe] = f0_base * decl
+
+        # Smooth everything that must move continuously (formants glide
+        # through consonants; gain/voicing have soft edges).
+        def smooth(x, w):
+            k = np.hanning(w)
+            k /= k.sum()
+            return np.convolve(x, k, mode="same")
+
+        for j in range(4):
+            F[:, j] = smooth(F[:, j], 9)
+        voiced = np.clip(smooth(voiced, 5), 0.0, 1.0)
+        gain = smooth(gain, 5)
+        fric = smooth(fric, 3)
+        f0 = smooth(f0, 7) * (1.0 + 0.01 * rng.standard_normal(n_frames))
+        return voiced, gain, fric, fric_freq, f0, F
+
+    # -- synthesis ----------------------------------------------------------
+
+    def _synthesize(self, rng):
+        from scipy.signal import lfilter
+
+        sr = self.sample_rate
+        n = self.max_samples
+        voiced, gain, fric, fric_freq, f0, F = self._build_tracks(rng)
+        n_frames = len(voiced)
+
+        # Per-sample source tracks.
+        up = lambda x: np.repeat(x, self.FRAME)[:n]  # noqa: E731
+        f0_s = up(f0)
+        voiced_s = up(voiced)
+        gain_s = up(gain)
+
+        # Glottal source: sawtooth rounded by a one-pole lowpass (~-12
+        # dB/oct, Klatt-style glottal tilt; the later +6 dB/oct radiation
+        # nets the classic -6 dB/oct speech slope) + aspiration noise.
+        phase = np.cumsum(f0_s) / sr
+        saw = 2.0 * (phase % 1.0) - 1.0
+        saw = lfilter([0.06], [1.0, -0.94], saw)
+        aspiration = 0.02 * rng.standard_normal(n)
+        source = voiced_s * gain_s * (saw + aspiration)
+
+        # Cascade formant filtering with frame-wise constant biquads.
+        bw = np.array([80.0, 110.0, 160.0, 220.0])  # formant bandwidths (Hz)
+        r = np.exp(-np.pi * bw / sr)  # (4,)
+        voiced_path = np.zeros(n)
+        state = np.zeros((4, 2))
+        for i in range(n_frames):
+            s0, s1 = i * self.FRAME, min((i + 1) * self.FRAME, n)
+            if s1 <= s0:
+                break
+            seg = source[s0:s1]
+            for j in range(4):
+                theta = 2.0 * np.pi * F[i, j] / sr
+                a = np.array([1.0, -2.0 * r[j] * np.cos(theta), r[j] * r[j]])
+                b = np.array([1.0 - r[j]])
+                seg, state[j] = lfilter(b, a, seg, zi=state[j])
+            voiced_path[s0:s1] = seg
+
+        # Fricatives / bursts: noise through a single wide resonator.
+        fr_gain = up(fric)
+        noise_path = np.zeros(n)
+        if np.any(fr_gain > 0):
+            noise = rng.standard_normal(n)
+            shaped = np.zeros(n)
+            zi = np.zeros(2)
+            rr = np.exp(-np.pi * 900.0 / sr)
+            for i in range(n_frames):
+                s0, s1 = i * self.FRAME, min((i + 1) * self.FRAME, n)
+                if s1 <= s0:
+                    break
+                theta = 2.0 * np.pi * min(fric_freq[i], 0.45 * sr) / sr
+                a = np.array([1.0, -2.0 * rr * np.cos(theta), rr * rr])
+                shaped[s0:s1], zi = lfilter(
+                    np.array([1.0 - rr]), a, noise[s0:s1], zi=zi
+                )
+            noise_path = fr_gain * shaped
+
+        # Lip radiation (+6 dB/oct, with a flat leak) is applied per path
+        # BEFORE level normalization -- applying it to the mix would boost
+        # the high-frequency noise path ~20 dB relative to the vowels.
+        def radiate(x):
+            return np.diff(x, prepend=0.0) + 0.15 * x
+
+        voiced_path = radiate(voiced_path)
+        noise_path = radiate(noise_path)
+
+        # The two paths come out of their filters at wildly different
+        # levels; normalize each over its active region, then mix with
+        # consonants well below the vowels (real long-term speech spectra
+        # sit ~16 dB down by 2-4 kHz; validated against the bundled eval
+        # clips in tests).
+        def active_rms(x, active):
+            sel = x[active] if np.any(active) else x
+            return float(np.sqrt(np.mean(sel**2))) + 1e-12
+
+        out = voiced_path / active_rms(voiced_path, voiced_s > 0.5)
+        out = out + 0.13 * noise_path / active_rms(noise_path, fr_gain > 0.05)
+
+        # Recording noise floor + robust normalization (99.9th-percentile
+        # scale so one plosive burst cannot crush the vowels).
+        out += 2e-4 * rng.standard_normal(n)
+        scale = np.quantile(np.abs(out), 0.999) + 1e-9
+        out = np.clip(out / scale, -1.0, 1.0)
+        return (out * rng.uniform(0.6, 0.95)).astype(np.float32)
+
+    def __getitem__(self, idx: int) -> np.ndarray:
+        if self._cache is not None and idx in self._cache:
+            return self._cache[idx]
+        rng = np.random.default_rng(
+            int.from_bytes(
+                hashlib.blake2s(
+                    f"formant:{self.seed}:{idx}".encode(), digest_size=8
+                ).digest(),
+                "little",
+            )
+        )
+        item = self._synthesize(rng)
+        if self._cache is not None:
+            self._cache[idx] = item
+        return item
