@@ -55,7 +55,7 @@ def build_argparser() -> argparse.ArgumentParser:
 def _collect(inp: Path) -> List[Path]:
     if inp.is_dir():
         return sorted(
-            p for p in inp.rglob("*") if p.suffix.lower() in (".flac", ".wav")
+            p for p in inp.rglob("*") if p.suffix.lower() in (".flac", ".wav", ".mp3")
         )
     return [inp]
 

@@ -49,6 +49,7 @@ def _build_native() -> None:
         str(src),
         "-o",
         str(_LIB_PATH),
+        "-ldl",  # dlopen of the system MP3 codec (pre-glibc-2.34 hosts)
     ]
     subprocess.run(cmd, check=True, capture_output=True)
 

@@ -27,7 +27,7 @@ __all__ = [
     "list_audio_files",
 ]
 
-AUDIO_EXTENSIONS = (".flac", ".wav")
+AUDIO_EXTENSIONS = (".flac", ".wav", ".mp3")
 
 
 def list_audio_files(

@@ -14,8 +14,13 @@
 //                     parameter search; writes a spec-compliant stream with
 //                     STREAMINFO + MD5.
 //   * WAV reader/writer — PCM 8/16/24/32 and IEEE float32.
+//   * MP3 decoder   — binds the operating system's codec (libmpg123) at
+//                     runtime, mirroring the reference's own MP3 path
+//                     (librosa -> audioread -> system codec); fails fast
+//                     with a clear error when the codec is absent.
 //
-// No external dependencies (MD5, CRC8, CRC16 implemented below).
+// No external dependencies beyond the optional system MP3 codec (MD5,
+// CRC8, CRC16 implemented below).
 //
 // Build: g++ -O3 -std=c++17 -shared -fPIC audioio.cpp -o libaudioio.so
 
@@ -771,6 +776,173 @@ static bool encode_wav(const char* path, const float* pcm, int64_t frames,
 }
 
 // ---------------------------------------------------------------------------
+// MP3 (MPEG-1/2/2.5 Layer III) — decode via the operating system's codec
+// library (libmpg123), loaded lazily with dlopen.
+//
+// Design note: FLAC and WAV above are implemented from scratch because the
+// framework owns those formats end to end (encode + decode + integrity).
+// For MP3 the reference's own path is librosa -> audioread -> a *system
+// codec* (reference utils.py:14-52 never decodes MP3 itself), so the
+// faithful native equivalent is to bind the system codec at this layer:
+// same architecture, one dependency owned by the OS, and a fail-fast error
+// at the file boundary when the codec is absent.  Decoded output is
+// validated in tests against an independent second decoder (SDL_mixer's).
+// ---------------------------------------------------------------------------
+#include <dlfcn.h>
+
+namespace mp3impl {
+
+// libmpg123 ABI subset (stable since API version 25+).
+using new_fn = void* (*)(const char*, int*);
+using init_fn = int (*)();
+using open_feed_fn = int (*)(void*);
+using feed_fn = int (*)(void*, const unsigned char*, size_t);
+using getformat_fn = int (*)(void*, long*, int*, int*);
+using param_fn = int (*)(void*, int, long, double);
+using read_fn = int (*)(void*, unsigned char*, size_t, size_t*);
+using close_fn = int (*)(void*);
+using delete_fn = void (*)(void*);
+
+constexpr int MPG123_ADD_FLAGS = 2;
+constexpr long MPG123_FORCE_FLOAT = 0x400;
+constexpr long MPG123_QUIET = 0x20;
+constexpr int MPG123_ENC_FLOAT_32 = 0x200;
+constexpr int MPG123_OK = 0;
+constexpr int MPG123_NEED_MORE = -10;
+constexpr int MPG123_NEW_FORMAT = -11;
+constexpr int MPG123_DONE = -12;
+
+struct Lib {
+  void* handle = nullptr;
+  init_fn init{};
+  new_fn make{};
+  open_feed_fn open_feed{};
+  feed_fn feed{};
+  getformat_fn getformat{};
+  param_fn param{};
+  read_fn read{};
+  close_fn close{};
+  delete_fn del{};
+  bool ok = false;
+};
+
+static const Lib& lib() {
+  static Lib L = [] {
+    Lib l;
+    l.handle = dlopen("libmpg123.so.0", RTLD_NOW | RTLD_LOCAL);
+    if (!l.handle) l.handle = dlopen("libmpg123.so", RTLD_NOW | RTLD_LOCAL);
+    if (!l.handle) return l;
+    l.init = (init_fn)dlsym(l.handle, "mpg123_init");
+    l.make = (new_fn)dlsym(l.handle, "mpg123_new");
+    l.open_feed = (open_feed_fn)dlsym(l.handle, "mpg123_open_feed");
+    l.feed = (feed_fn)dlsym(l.handle, "mpg123_feed");
+    l.getformat = (getformat_fn)dlsym(l.handle, "mpg123_getformat");
+    l.param = (param_fn)dlsym(l.handle, "mpg123_param");
+    l.read = (read_fn)dlsym(l.handle, "mpg123_read");
+    l.close = (close_fn)dlsym(l.handle, "mpg123_close");
+    l.del = (delete_fn)dlsym(l.handle, "mpg123_delete");
+    l.ok = l.init && l.make && l.open_feed && l.feed && l.getformat &&
+           l.param && l.read && l.close && l.del;
+    if (l.ok) l.init();
+    return l;
+  }();
+  return L;
+}
+
+// Looks like an MP3 stream: ID3v2 tag, or an MPEG audio frame sync whose
+// header declares Layer III.
+static bool looks_like_mp3(const uint8_t* d, size_t n) {
+  if (n >= 3 && d[0] == 'I' && d[1] == 'D' && d[2] == '3') return true;
+  if (n >= 2 && d[0] == 0xFF && (d[1] & 0xE0) == 0xE0) {
+    int layer = (d[1] >> 1) & 0x3;  // 01 = Layer III
+    return layer == 0x1;
+  }
+  return false;
+}
+
+static bool decode_mp3(const uint8_t* data, size_t size,
+                       std::vector<float>* out, int64_t* frames,
+                       int32_t* channels, int32_t* rate, std::string* msg) {
+  const Lib& L = lib();
+  if (!L.ok) {
+    *msg = "MP3 decode requires the system codec library (libmpg123); "
+           "it is not available on this host";
+    return false;
+  }
+  int err = 0;
+  void* h = L.make(nullptr, &err);
+  if (!h) { *msg = "mpg123_new failed"; return false; }
+  L.param(h, MPG123_ADD_FLAGS, MPG123_FORCE_FLOAT | MPG123_QUIET, 0.0);
+  if (L.open_feed(h) != MPG123_OK) {
+    L.del(h);
+    *msg = "mpg123_open_feed failed";
+    return false;
+  }
+  // Feeding the whole buffer up front keeps this path in-memory like the
+  // FLAC/WAV decoders (no second pass over the file).
+  if (L.feed(h, data, size) != MPG123_OK) {
+    L.close(h); L.del(h);
+    *msg = "mpg123_feed failed";
+    return false;
+  }
+
+  long out_rate = 0;
+  int ch = 0, enc = 0;
+  std::vector<uint8_t> buf(1 << 16);
+  size_t done = 0;
+  bool got_format = false, got_audio = false;
+  out->clear();
+  for (;;) {
+    int rc = L.read(h, buf.data(), buf.size(), &done);
+    if (done > 0) {
+      if (!got_format) {
+        L.close(h); L.del(h);
+        *msg = "MP3 decoder produced audio before reporting a format";
+        return false;
+      }
+      const float* f = (const float*)buf.data();
+      out->insert(out->end(), f, f + done / sizeof(float));
+      got_audio = true;
+    }
+    if (rc == MPG123_NEW_FORMAT) {
+      long r2; int c2, e2;
+      L.getformat(h, &r2, &c2, &e2);
+      if (e2 != MPG123_ENC_FLOAT_32) {
+        L.close(h); L.del(h);
+        *msg = "MP3 decoder did not honor float output";
+        return false;
+      }
+      if (got_format && (r2 != out_rate || c2 != ch)) {
+        L.close(h); L.del(h);
+        *msg = "MP3 stream changes format mid-file (unsupported)";
+        return false;
+      }
+      out_rate = r2; ch = c2; enc = e2; got_format = true;
+      continue;
+    }
+    if (rc == MPG123_NEED_MORE || rc == MPG123_DONE) break;  // buffer drained
+    if (rc != MPG123_OK) {
+      L.close(h); L.del(h);
+      *msg = "MP3 decode error (rc=" + std::to_string(rc) + ")";
+      return false;
+    }
+  }
+  L.close(h);
+  L.del(h);
+  (void)enc;
+  if (!got_format || !got_audio || ch <= 0 || out_rate <= 0) {
+    *msg = "no decodable MPEG audio frames found";
+    return false;
+  }
+  *channels = (int32_t)ch;
+  *rate = (int32_t)out_rate;
+  *frames = (int64_t)(out->size() / (size_t)ch);
+  return true;
+}
+
+}  // namespace mp3impl
+
+// ---------------------------------------------------------------------------
 // C ABI
 // ---------------------------------------------------------------------------
 static void set_err(char* err, int errlen, const std::string& msg) {
@@ -808,6 +980,9 @@ int mai_read_audio(const char* path, float** out_data, int64_t* out_frames,
   if (fsize >= 4 && memcmp(data.data(), "fLaC", 4) == 0)
     ok = decode_flac(data.data(), data.size(), &samples, out_frames,
                      out_channels, out_rate, md5_ok, &msg);
+  else if (mp3impl::looks_like_mp3(data.data(), data.size()))
+    ok = mp3impl::decode_mp3(data.data(), data.size(), &samples, out_frames,
+                             out_channels, out_rate, &msg);
   else
     ok = decode_wav(data.data(), data.size(), &samples, out_frames,
                     out_channels, out_rate, &msg);
