@@ -193,6 +193,7 @@ def main(argv=None) -> None:
     from ml_audio_inpainting_tpu.cli.inpaint import _build_runner, _collect
     from ml_audio_inpainting_tpu.data.audio_io import load_audio, save_audio
     from ml_audio_inpainting_tpu.ops.gaps import gap_mask
+    from ml_audio_inpainting_tpu.train.auditory import psm_score
     from ml_audio_inpainting_tpu.train.metrics import (
         fwseg_snr,
         gap_sdr,
@@ -248,6 +249,9 @@ def main(argv=None) -> None:
                 log_spectral_distance(jnp.asarray(clean), jnp.asarray(restored))
             ),
             "fwseg_snr_db": np.asarray(fwseg_snr(jnp.asarray(clean), jnp.asarray(restored))),
+            "psm": np.asarray(
+                psm_score(jnp.asarray(clean), jnp.asarray(restored))
+            ),
         }
         results[model_name] = {k: [round(float(x), 3) for x in v] for k, v in r.items()}
         if args.reconstructions:
@@ -256,13 +260,17 @@ def main(argv=None) -> None:
             for j, f in enumerate(files):
                 save_audio(restored[j], outdir / f"{f.stem}_{model_name}_inpainted.flac", sr)
 
-    header = f"{'model':>14} | {'gap SDR':>8} | {'SNR':>7} | {'LSD':>6} | {'fwsegSNR':>8}"
+    header = (
+        f"{'model':>14} | {'gap SDR':>8} | {'SNR':>7} | {'LSD':>6} | "
+        f"{'fwsegSNR':>8} | {'PSM':>6}"
+    )
     print(header)
     print("-" * len(header))
     for name, r in results.items():
         print(
             f"{name:>14} | {np.mean(r['gap_sdr_db']):8.2f} | {np.mean(r['snr_db']):7.2f} | "
-            f"{np.mean(r['lsd_db']):6.2f} | {np.mean(r['fwseg_snr_db']):8.2f}"
+            f"{np.mean(r['lsd_db']):6.2f} | {np.mean(r['fwseg_snr_db']):8.2f} | "
+            f"{np.mean(r['psm']):6.3f}"
         )
 
     if args.output_json:

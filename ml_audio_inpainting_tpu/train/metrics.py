@@ -7,6 +7,10 @@ both proprietary MATLAB toolboxes shipped as a missing binary blob.  Per the
 benchmark plan (BASELINE.md), PEMO-Q/PEAQ are substituted with open
 computable metrics: frequency-weighted segmental SNR (``fwseg_snr``) as the
 perceptual-class score, plus log-spectral distance and spectral convergence.
+The actual auditory-model PSM score (gammatone + adaptation + modulation
+lowpass + internal-representation correlation, PEMO-Q's model class) lives
+in :mod:`ml_audio_inpainting_tpu.train.auditory` and reproduces the
+recorded PEMO-Q ranking on the reference's shipped reconstructions.
 """
 
 from __future__ import annotations
