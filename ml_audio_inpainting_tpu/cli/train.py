@@ -39,6 +39,8 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--valid-every", type=int, default=0,
                    help="run a validation pass every N steps (0 = off)")
     p.add_argument("--valid-batches", type=int, default=4)
+    p.add_argument("--workers", type=int, default=4,
+                   help="host decode threads (reference DataLoader num_workers=4)")
     return p
 
 
@@ -149,7 +151,8 @@ def main(argv=None) -> None:
             )
     epochs = cfg.training.epochs if args.model == "gan" else cfg.training.max_n_epochs
     batches = batch_iterator(
-        dataset, cfg.training.batch_size, shuffle=True, seed=args.seed, epochs=epochs
+        dataset, cfg.training.batch_size, shuffle=True, seed=args.seed,
+        epochs=epochs, workers=args.workers,
     )
     feed = prefetch_to_device(batches, size=2, sharding=batch_sharding(mesh))
 

@@ -4,6 +4,7 @@ batch iterator semantics, synthetic dataset determinism."""
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from ml_audio_inpainting_tpu.data.dataset import SyntheticSpeechDataset
 from ml_audio_inpainting_tpu.data.pipeline import batch_iterator, prefetch_to_device
@@ -65,6 +66,30 @@ class TestPipeline:
         a = [b[:, 0].tolist() for b in batch_iterator(ds, 2, seed=1, epochs=2)]
         b = [b[:, 0].tolist() for b in batch_iterator(ds, 2, seed=1, epochs=2)]
         assert a == b and len(a) == 4
+
+    def test_workers_match_serial_batches(self):
+        """The thread-pool decode path must produce byte-identical batches
+        in the same order as the serial path (the workers only hide decode
+        latency, they never reorder)."""
+        ds = [np.full(4, i, np.float32) for i in range(23)]
+        serial = list(batch_iterator(ds, 4, shuffle=True, seed=3, epochs=2))
+        pooled = list(batch_iterator(ds, 4, shuffle=True, seed=3, epochs=2, workers=4))
+        assert len(serial) == len(pooled)
+        for a, b in zip(serial, pooled):
+            np.testing.assert_array_equal(a, b)
+
+    def test_workers_propagate_decode_errors(self):
+        class Exploding:
+            def __len__(self):
+                return 8
+
+            def __getitem__(self, i):
+                if i == 5:
+                    raise ValueError("bad item")
+                return np.zeros(4, np.float32)
+
+        with pytest.raises(ValueError, match="bad item"):
+            list(batch_iterator(Exploding(), 2, shuffle=False, epochs=1, workers=3))
 
     def test_prefetch_preserves_order_and_raises(self):
         def gen():
