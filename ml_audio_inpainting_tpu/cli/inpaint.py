@@ -177,6 +177,14 @@ def _build_runner(args, cfg, n_samples: int):
                 model, variables = load_torch_cnn_blstm(
                     args.checkpoint, freq_bins=cfg.data.spectrogram.freq_bins
                 )
+            elif args.checkpoint and str(args.checkpoint).endswith(".npz"):
+                # Compact exported weights (checkpoints.export_params_npz).
+                from ml_audio_inpainting_tpu.train.checkpoints import (
+                    load_params_npz,
+                )
+
+                model = build_model(cfg)
+                variables = load_params_npz(args.checkpoint)
             else:
                 model = build_model(cfg)
                 state = create_cnn_state(cfg, jax.random.PRNGKey(0))

@@ -18,7 +18,51 @@ from typing import Any, Optional, Union
 import jax
 import orbax.checkpoint as ocp
 
-__all__ = ["CheckpointManager"]
+__all__ = ["CheckpointManager", "export_params_npz", "load_params_npz"]
+
+
+def export_params_npz(
+    path: Union[str, Path], variables: Any, dtype: Optional[str] = "float16"
+) -> None:
+    """Flat ``.npz`` export of inference variables (``params`` +
+    ``batch_stats``): a compact, commit-friendly weight artifact (no
+    optimizer state), loadable with :func:`load_params_npz` and accepted by
+    the inpaint/evaluate CLIs' ``--checkpoint``.
+
+    ``dtype="float16"`` (default) halves the artifact; weight rounding at
+    1e-3 relative is far below these models' output sensitivity (verified
+    in tests/eval).  Pass ``None`` to keep native dtypes.
+    """
+    import numpy as np
+
+    flat = {}
+    for kp, leaf in jax.tree_util.tree_flatten_with_path(variables)[0]:
+        key = "/".join(str(getattr(k, "key", getattr(k, "idx", k))) for k in kp)
+        arr = np.asarray(leaf)
+        if dtype is not None and arr.dtype == np.float32:
+            arr = arr.astype(dtype)
+        flat[key] = arr
+    np.savez_compressed(path, **flat)
+
+
+def load_params_npz(path: Union[str, Path]) -> Any:
+    """Inverse of :func:`export_params_npz` -> nested variables dict
+    (half-precision exports are widened back to float32)."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    data = np.load(path)
+    out: dict = {}
+    for key in data.files:
+        parts = key.split("/")
+        d = out
+        for p in parts[:-1]:
+            d = d.setdefault(p, {})
+        arr = data[key]
+        if arr.dtype == np.float16:
+            arr = arr.astype(np.float32)
+        d[parts[-1]] = jnp.asarray(arr)
+    return out
 
 
 class CheckpointManager:

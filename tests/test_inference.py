@@ -112,6 +112,30 @@ class TestCheckpoints:
         assert int(restored.step) == 3
         mgr.close()
 
+    def test_npz_export_roundtrip(self, tmp_path):
+        """Compact weight export (export_params_npz) restores the same tree
+        structure with f16-rounding-level accuracy."""
+        from ml_audio_inpainting_tpu.train.checkpoints import (
+            export_params_npz,
+            load_params_npz,
+        )
+
+        cfg = tiny_cfg(gan=False)
+        state = create_cnn_state(cfg, jax.random.PRNGKey(0))
+        variables = {"params": state.params}
+        if state.batch_stats is not None:
+            variables["batch_stats"] = state.batch_stats
+        path = tmp_path / "weights.npz"
+        export_params_npz(path, variables)
+        loaded = load_params_npz(path)
+        flat_a = jax.tree_util.tree_flatten_with_path(variables)[0]
+        flat_b = jax.tree_util.tree_flatten_with_path(loaded)[0]
+        assert [k for k, _ in flat_a] == [k for k, _ in flat_b]
+        for (_, a), (_, b) in zip(flat_a, flat_b):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=2e-3, atol=1e-4
+            )
+
     def test_restore_missing_raises(self, tmp_path):
         mgr = CheckpointManager(tmp_path / "empty")
         with pytest.raises(FileNotFoundError):
