@@ -153,14 +153,22 @@ def _build_runner(args, cfg, n_samples: int):
             )
 
             model = build_generator(cfg)
-            g_state, d_state = create_gan_states(cfg, jax.random.PRNGKey(0))
-            if args.checkpoint:
-                mgr = CheckpointManager(args.checkpoint)
-                restored = mgr.restore({"g": g_state, "d": d_state})
-                g_state = restored["g"]
-            variables = {"params": g_state.params}
-            if g_state.batch_stats is not None:
-                variables["batch_stats"] = g_state.batch_stats
+            if args.checkpoint and str(args.checkpoint).endswith(".npz"):
+                # Compact exported generator weights (export_params_npz).
+                from ml_audio_inpainting_tpu.train.checkpoints import (
+                    load_params_npz,
+                )
+
+                variables = load_params_npz(args.checkpoint)
+            else:
+                g_state, d_state = create_gan_states(cfg, jax.random.PRNGKey(0))
+                if args.checkpoint:
+                    mgr = CheckpointManager(args.checkpoint)
+                    restored = mgr.restore({"g": g_state, "d": d_state})
+                    g_state = restored["g"]
+                variables = {"params": g_state.params}
+                if g_state.batch_stats is not None:
+                    variables["batch_stats"] = g_state.batch_stats
             fn = make_gan_inpaint_fn(cfg, model, mode=args.mode)
         else:
             from ml_audio_inpainting_tpu.train.cnn_trainer import (
