@@ -40,6 +40,11 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--mode", choices=["parity", "enhanced"], default="parity")
     p.add_argument("--batch-size", type=int, default=16)
     p.add_argument(
+        "--n-gaps", type=int, default=1,
+        help="IRMAS-style multi-gap condition (IRMAS_gaps.m): N gaps of "
+             "10-80 ms per clip with spacing constraints; solved "
+             "sequentially left to right")
+    p.add_argument(
         "--golden", type=str, default=None,
         help="directory of the reference's shipped reconstructions "
         "(test_samples_reconstructed/): score them with this metric stack, "
@@ -233,15 +238,39 @@ def main(argv=None) -> None:
             print(f"wrote {args.output_json}")
         return
 
-    tmask = jax.vmap(lambda s, l: gap_mask(clean.shape[-1], s, l))(gs, gl)
-    gapm = 1.0 - tmask
+    if args.n_gaps > 1:
+        # IRMAS-style multi-gap condition (IRMAS_gaps.m:1-151): N gaps per
+        # clip, spacing >= a solver context so sequential left-to-right
+        # solving sees no unsolved gap inside its local window.
+        from ml_audio_inpainting_tpu.data.multigap import multi_gap_mask
+
+        keys = jax.random.split(jax.random.PRNGKey(7), B)
+        masks, starts, lens = jax.vmap(
+            lambda k: multi_gap_mask(
+                k,
+                clean.shape[-1],
+                args.n_gaps,
+                max_gap_ms=args.gap_len * 1000.0,
+                min_dist_samples=5000,
+            )
+        )(keys)
+        gapm = 1.0 - masks
+    else:
+        tmask = jax.vmap(lambda s, l: gap_mask(clean.shape[-1], s, l))(gs, gl)
+        gapm = 1.0 - tmask
 
     results = {}
     for model_name in args.models:
         m_args = argparse.Namespace(**vars(args))
         m_args.model = model_name
         runner = _build_runner(m_args, cfg, clean.shape[-1])
-        restored = np.asarray(runner(jnp.asarray(clean), gs, gl))
+        if args.n_gaps > 1:
+            restored = jnp.asarray(clean) * masks
+            for g in range(args.n_gaps):
+                restored = jnp.asarray(runner(restored, starts[:, g], lens[:, g]))
+            restored = np.asarray(restored)
+        else:
+            restored = np.asarray(runner(jnp.asarray(clean), gs, gl))
         r = {
             "gap_sdr_db": np.asarray(gap_sdr(jnp.asarray(clean), jnp.asarray(restored), gapm)),
             "snr_db": np.asarray(snr(jnp.asarray(clean), jnp.asarray(restored))),
@@ -274,14 +303,21 @@ def main(argv=None) -> None:
         )
 
     if args.output_json:
-        payload = {
-            "condition": {
-                "gap_start_s": args.gap_start,
-                "gap_len_s": args.gap_len,
-                "files": [f.name for f in files],
-            },
-            "results": results,
+        condition = {
+            "gap_start_s": args.gap_start,
+            "gap_len_s": args.gap_len,
+            "files": [f.name for f in files],
         }
+        if args.n_gaps > 1:
+            condition.update(
+                {
+                    "n_gaps": args.n_gaps,
+                    "gap_len_ms_range": [10.0, args.gap_len * 1000.0],
+                    "min_dist_samples": 5000,
+                    "scheme": "IRMAS_gaps.m-style, solved left to right",
+                }
+            )
+        payload = {"condition": condition, "results": results}
         Path(args.output_json).write_text(json.dumps(payload, indent=2))
         print(f"wrote {args.output_json}")
 

@@ -119,3 +119,26 @@ class TestEvaluateCLI:
         assert len(data["results"]["arinpaint"]["gap_sdr_db"]) == 2
         flacs = list(recon.glob("*arinpaint_inpainted.flac"))
         assert len(flacs) == 2
+
+    def test_multigap_eval(self, tmp_path, eval_clips):
+        """IRMAS-style multi-gap condition (--n-gaps, IRMAS_gaps.m):
+        sequential per-gap solving must improve on leaving the gaps silent."""
+        from ml_audio_inpainting_tpu.cli.evaluate import main
+
+        out_json = tmp_path / "mg.json"
+        main(
+            [
+                "--models", "arinpaint",
+                "--input", str(eval_clips),
+                "--output-json", str(out_json),
+                "--n-gaps", "3",
+                "--gap-len", "0.04", "--ar-order", "64",
+            ]
+        )
+        data = json.loads(out_json.read_text())
+        assert data["condition"]["n_gaps"] == 3
+        sdrs = data["results"]["arinpaint"]["gap_sdr_db"]
+        assert len(sdrs) == 2
+        # zero-fill scores exactly 0 dB; solving all gaps must beat it
+        assert all(np.isfinite(v) for v in sdrs)
+        assert float(np.mean(sdrs)) > 0.0, sdrs
