@@ -41,6 +41,9 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--valid-batches", type=int, default=4)
     p.add_argument("--workers", type=int, default=4,
                    help="host decode threads (reference DataLoader num_workers=4)")
+    p.add_argument("--train-n-gaps", type=int, default=None,
+                   help="GAN: train with N spacing-constrained gaps per clip "
+                        "(IRMAS-style) instead of the reference's single gap")
     return p
 
 
@@ -90,6 +93,8 @@ def main(argv=None) -> None:
         cfg.training.max_n_epochs = args.epochs
     if args.batch_size is not None:
         cfg.training.batch_size = args.batch_size
+    if args.train_n_gaps is not None:
+        cfg.data.train_n_gaps = args.train_n_gaps
 
     run = RunContext(cfg, run_name=args.run_name, base_dir=args.base_dir)
     # Data-parallel width must divide the batch; use the largest divisor of

@@ -32,7 +32,8 @@ def _one_gap(key, n_samples: int, gap_len_s: float, sample_rate: int):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("spec", "gap_len_s", "sample_rate", "n_samples")
+    jax.jit,
+    static_argnames=("spec", "gap_len_s", "sample_rate", "n_samples", "n_gaps"),
 )
 def gan_features(
     audio: jnp.ndarray,
@@ -41,8 +42,13 @@ def gan_features(
     gap_len_s: float = 0.2,
     sample_rate: int = 16000,
     n_samples: int = 80000,
+    n_gaps: int = 1,
 ) -> Dict[str, jnp.ndarray]:
     """GAN-profile batch features (reference ``models/GAN/dataset.py:63-166``).
+
+    ``n_gaps > 1`` switches to spacing-constrained multi-gap corruption
+    (IRMAS_gaps.m-style; an enhancement over the reference's single random
+    gap) -- frame masks are the AND of the per-gap floor/ceil masks.
 
     Returns (all ``(B, F, N)``):
       original_magnitude  log1p(|STFT(clean)|)
@@ -52,9 +58,20 @@ def gan_features(
     """
     B = audio.shape[0]
     keys = jax.random.split(key, B)
-    masks, starts, ends = jax.vmap(
-        lambda k: _one_gap(k, n_samples, gap_len_s, sample_rate)
-    )(keys)
+    if n_gaps > 1:
+        from ml_audio_inpainting_tpu.data.multigap import multi_gap_mask
+
+        masks, starts_k, lens_k = jax.vmap(
+            lambda k: multi_gap_mask(
+                k, n_samples, n_gaps,
+                max_gap_ms=gap_len_s * 1000.0, sample_rate=sample_rate,
+            )
+        )(keys)
+        starts, ends = starts_k, starts_k + lens_k  # (B, n_gaps)
+    else:
+        masks, starts, ends = jax.vmap(
+            lambda k: _one_gap(k, n_samples, gap_len_s, sample_rate)
+        )(keys)
 
     spec_clean = stft(
         audio, n_fft=spec.n_fft, hop_length=spec.hop_length, win_length=spec.win_length
@@ -66,11 +83,21 @@ def gan_features(
         win_length=spec.win_length,
     )
     n_freq, n_time = spec_clean.shape[-2:]
-    frame_masks = jax.vmap(
-        lambda s, e: gap_ops.frame_mask_from_interval(
-            s, e, n_freq, n_time, spec.hop_length
+    if n_gaps > 1:
+        per_gap = jax.vmap(  # over gaps within a clip
+            lambda s, e: gap_ops.frame_mask_from_interval(
+                s, e, n_freq, n_time, spec.hop_length
+            )
         )
-    )(starts, ends)
+        frame_masks = jax.vmap(lambda ss, ee: jnp.min(per_gap(ss, ee), axis=0))(
+            starts, ends
+        )
+    else:
+        frame_masks = jax.vmap(
+            lambda s, e: gap_ops.frame_mask_from_interval(
+                s, e, n_freq, n_time, spec.hop_length
+            )
+        )(starts, ends)
 
     return {
         "original_magnitude": masking.log1p_norm(jnp.abs(spec_clean)),

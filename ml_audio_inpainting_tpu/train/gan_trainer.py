@@ -109,6 +109,7 @@ def _gan_feature_fn(cfg: Config):
             gap_len_s=cfg.data.gap_len_s,
             sample_rate=cfg.data.sample_rate,
             n_samples=cfg.data.max_samples,
+            n_gaps=cfg.data.train_n_gaps,
         )
 
     return fn

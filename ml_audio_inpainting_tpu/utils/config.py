@@ -89,6 +89,9 @@ class DataConfig:
     train_limit: Optional[int] = None  # GAN: random subset cap (config.yaml:10)
     n_files: Optional[int] = None  # CNNBLSTM: file cap (cnn_blstm.yaml:12)
     gaps_per_audio: int = 1  # CNNBLSTM: gap variants per clip (cnn_blstm.yaml:13)
+    # Training-time multi-gap corruption (enhancement over the reference's
+    # single random gap; matches the IRMAS eval condition, IRMAS_gaps.m).
+    train_n_gaps: int = 1
     spectrogram: SpectrogramConfig = field(default_factory=SpectrogramConfig)
 
     @property

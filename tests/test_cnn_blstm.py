@@ -111,6 +111,23 @@ class TestFeatures:
         m = np.asarray(b["mask"])
         assert (m.sum(axis=(1, 2)) < 2 * F * N).all()
 
+    def test_gan_features_multi_gap(self):
+        """n_gaps > 1: IRMAS-style training corruption -- the frame mask
+        must contain exactly that many distinct hole runs per clip."""
+        spec = SpectrogramConfig(n_fft=256, hop_length=64, win_length=256)
+        audio = jnp.asarray(
+            np.random.default_rng(0).standard_normal((3, 16000)), jnp.float32
+        )
+        b = features.gan_features(
+            audio, jax.random.PRNGKey(1), spec,
+            gap_len_s=0.05, sample_rate=16000, n_samples=16000, n_gaps=3,
+        )
+        m = np.asarray(b["mask"])
+        for clip in range(3):
+            row = m[clip, 0]
+            runs = int(np.sum(row[1:] < row[:-1])) + int(row[0] == 0)
+            assert runs == 3, (clip, runs)
+
 
 class TestTraining:
     def test_loss_decreases_overfit(self, speech_like):
