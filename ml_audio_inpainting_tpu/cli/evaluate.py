@@ -264,7 +264,22 @@ def main(argv=None) -> None:
         m_args = argparse.Namespace(**vars(args))
         m_args.model = model_name
         runner = _build_runner(m_args, cfg, clean.shape[-1])
-        if args.n_gaps > 1:
+        if args.n_gaps > 1 and model_name in ("gan", "cnn_blstm"):
+            # Neural models reconstruct ALL gaps in one mask-driven pass
+            # (the masked architectures handle arbitrary hole patterns).
+            from ml_audio_inpainting_tpu.runtime.inference import (
+                make_cnn_inpaint_mask_fn,
+                make_gan_inpaint_mask_fn,
+            )
+
+            if model_name == "gan":
+                mask_fn = make_gan_inpaint_mask_fn(cfg, runner.model, mode=args.mode)
+            else:
+                mask_fn = make_cnn_inpaint_mask_fn(cfg, runner.model)
+            restored = np.asarray(
+                mask_fn(runner.variables, jnp.asarray(clean), masks)[0]
+            )
+        elif args.n_gaps > 1:
             restored = jnp.asarray(clean) * masks
             for g in range(args.n_gaps):
                 restored = jnp.asarray(runner(restored, starts[:, g], lens[:, g]))

@@ -208,9 +208,10 @@ def _build_runner(args, cfg, n_samples: int):
             restored, _ = fn(variables, audio, gs, gl)
             return restored
 
-        # Expose the raw pieces for the long-form driver.
+        # Expose the raw pieces for the long-form and multi-gap drivers.
         runner.inpaint_fn = fn
         runner.variables = variables
+        runner.model = model
         return runner
 
     # Classical solvers: vmap over the batch.

@@ -20,7 +20,13 @@ from typing import Optional, Tuple
 import jax
 import jax.numpy as jnp
 
-__all__ = ["gap_mask", "random_gap_mask", "apply_gap", "frame_mask_from_interval"]
+__all__ = [
+    "gap_mask",
+    "random_gap_mask",
+    "apply_gap",
+    "frame_mask_from_interval",
+    "frame_mask_from_sample_mask",
+]
 
 
 @functools.partial(jax.jit, static_argnames=("audio_len", "dtype"))
@@ -99,3 +105,41 @@ def frame_mask_from_interval(
     hole = (t >= start_f) & (t < end_f) & (gap_end > gap_start)
     col = jnp.where(hole, jnp.zeros((), dtype), jnp.ones((), dtype))
     return jnp.broadcast_to(col[None, :], (n_freq, n_time))
+
+
+def frame_mask_from_sample_mask(
+    sample_mask: jnp.ndarray,
+    n_freq: int,
+    n_time: int,
+    hop_length: int,
+    rule: str = "any",
+    dtype=jnp.float32,
+) -> jnp.ndarray:
+    """Frame mask ``(..., n_freq, n_time)`` from an arbitrary 1=valid
+    sample mask ``(..., n_samples)`` -- the multi-gap generalization of
+    :func:`frame_mask_from_interval`.
+
+    ``rule="any"``: frame ``t`` is a hole iff any sample in
+    ``[t*hop, (t+1)*hop)`` is missing.  For a single interval ``[s, e)``
+    this reduces EXACTLY to the GAN floor/ceil rule (frames
+    ``[s // hop, ceil(e / hop))``).
+
+    ``rule="end"``: frame ``t`` is a hole iff sample ``t*hop + hop - 1``
+    is missing -- exactly the CNNBLSTM floor/floor rule (frames
+    ``[s // hop, e // hop)``).
+
+    Returns 1 = valid / 0 = hole (flip for the CNNBLSTM 1=gap convention
+    at the call site).
+    """
+    n = sample_mask.shape[-1]
+    miss = 1.0 - sample_mask
+    total = n_time * hop_length
+    if total > n:
+        widths = [(0, 0)] * (miss.ndim - 1) + [(0, total - n)]
+        miss = jnp.pad(miss, widths)
+    else:
+        miss = miss[..., :total]
+    windows = miss.reshape(miss.shape[:-1] + (n_time, hop_length))
+    hole = windows.max(axis=-1) if rule == "any" else windows[..., -1]
+    col = jnp.where(hole > 0, jnp.zeros((), dtype), jnp.ones((), dtype))
+    return jnp.broadcast_to(col[..., None, :], col.shape[:-1] + (n_freq, n_time))

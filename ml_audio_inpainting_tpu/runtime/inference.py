@@ -31,7 +31,12 @@ from ml_audio_inpainting_tpu.ops import masking
 from ml_audio_inpainting_tpu.ops.stft import istft, stft
 from ml_audio_inpainting_tpu.utils.config import Config
 
-__all__ = ["make_gan_inpaint_fn", "make_cnn_inpaint_fn"]
+__all__ = [
+    "make_gan_inpaint_fn",
+    "make_cnn_inpaint_fn",
+    "make_gan_inpaint_mask_fn",
+    "make_cnn_inpaint_mask_fn",
+]
 
 
 def make_gan_inpaint_fn(
@@ -111,6 +116,79 @@ def make_gan_inpaint_fn(
             length=n_samples,
         )
         return restored, generated
+
+    return fn
+
+
+def make_gan_inpaint_mask_fn(cfg: Config, generator, mode: str = "enhanced") -> Callable:
+    """Mask-driven GAN inference: ``fn(variables, audio, sample_mask) ->
+    (restored, spec)`` with an ARBITRARY 1=valid time-domain mask -- all
+    gaps (IRMAS multi-gap condition) reconstructed in ONE forward pass,
+    the frame mask being the exact multi-gap generalization of the
+    reference's floor/ceil rule (``frame_mask_from_sample_mask``)."""
+    spec_cfg = cfg.data.spectrogram
+    if mode not in ("parity", "enhanced"):
+        raise ValueError(f"mode must be 'parity' or 'enhanced', got {mode!r}")
+
+    @jax.jit
+    def fn(variables, audio: jnp.ndarray, sample_mask: jnp.ndarray):
+        n_samples = audio.shape[-1]
+        impaired = audio * sample_mask
+        kw = dict(
+            n_fft=spec_cfg.n_fft,
+            hop_length=spec_cfg.hop_length,
+            win_length=spec_cfg.win_length,
+        )
+        spec_clean = stft(audio, **kw)
+        spec_gap = stft(impaired, **kw)
+        phase = jnp.angle(spec_clean)
+        log_impaired = masking.log1p_norm(jnp.abs(spec_gap))
+        F, N = spec_clean.shape[-2:]
+        fmask = gap_ops.frame_mask_from_sample_mask(
+            sample_mask, F, N, spec_cfg.hop_length, rule="any"
+        )
+        generated = generator.apply(variables, log_impaired, fmask, train=False)
+        if mode == "parity":
+            out_mag = generated
+        else:
+            composited = masking.composite(
+                generated, masking.log1p_norm(jnp.abs(spec_clean)), fmask
+            )
+            out_mag = masking.log1p_denorm(composited)
+        restored = istft(out_mag * jnp.exp(1j * phase), length=n_samples, **kw)
+        return restored, generated
+
+    return fn
+
+
+def make_cnn_inpaint_mask_fn(cfg: Config, model) -> Callable:
+    """Mask-driven CNNBLSTM inference (multi-gap in one pass); frame rule
+    is the exact floor/floor generalization (``rule="end"``)."""
+    spec_cfg = cfg.data.spectrogram
+
+    @jax.jit
+    def fn(variables, audio: jnp.ndarray, sample_mask: jnp.ndarray):
+        n_samples = audio.shape[-1]
+        kw = dict(
+            n_fft=spec_cfg.n_fft,
+            hop_length=spec_cfg.hop_length,
+            win_length=spec_cfg.win_length,
+        )
+        spec_clean = stft(audio, **kw)
+        phase = jnp.angle(spec_clean)
+        F, N = spec_clean.shape[-2:]
+        valid = gap_ops.frame_mask_from_sample_mask(
+            sample_mask, F, N, spec_cfg.hop_length, rule="end"
+        )
+        gmask = 1.0 - valid  # CNNBLSTM convention: 1 = gap
+        log_impaired = jnp.log10(
+            jnp.abs(spec_clean) * (1.0 - gmask) + masking.LOG10_EPS
+        )
+        pred = model.apply(variables, log_impaired, train=False)
+        composited = pred * gmask + log_impaired * (1.0 - gmask)
+        out_mag = masking.log10_denorm(composited)
+        restored = istft(out_mag * jnp.exp(1j * phase), length=n_samples, **kw)
+        return restored, composited
 
     return fn
 

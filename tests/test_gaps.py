@@ -59,6 +59,61 @@ class TestGapMask:
         assert len(set(np.asarray(starts).tolist())) > 1  # actually random
 
 
+class TestFrameMaskFromSampleMask:
+    """The multi-gap generalization must reduce EXACTLY to the reference's
+    per-interval rules for a single gap."""
+
+    def test_any_rule_matches_floor_ceil(self):
+        import jax.numpy as jnp
+
+        from ml_audio_inpainting_tpu.ops.gaps import (
+            frame_mask_from_interval,
+            frame_mask_from_sample_mask,
+            gap_mask,
+        )
+
+        F, N, hop, n = 5, 126, 64, 8000
+        for s, l in [(0, 64), (100, 300), (63, 65), (7936, 64), (128, 1), (500, 0)]:
+            tmask = gap_mask(n, jnp.asarray(s), jnp.asarray(l))
+            a = frame_mask_from_interval(jnp.asarray(s), jnp.asarray(s + l), F, N, hop)
+            b = frame_mask_from_sample_mask(tmask, F, N, hop, rule="any")
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b), err_msg=f"{s},{l}")
+
+    def test_end_rule_matches_floor_floor(self):
+        import jax.numpy as jnp
+
+        from ml_audio_inpainting_tpu.ops.gaps import (
+            frame_mask_from_sample_mask,
+            gap_mask,
+        )
+
+        F, N, hop, n = 3, 126, 64, 8000
+        for s, l in [(0, 64), (100, 300), (63, 65), (128, 192)]:
+            tmask = gap_mask(n, jnp.asarray(s), jnp.asarray(l))
+            got = np.asarray(
+                frame_mask_from_sample_mask(tmask, F, N, hop, rule="end")
+            )[0]
+            t = np.arange(N)
+            expect = np.where((t >= s // hop) & (t < (s + l) // hop), 0.0, 1.0)
+            np.testing.assert_array_equal(got, expect, err_msg=f"{s},{l}")
+
+    def test_multi_gap_batched(self):
+        import jax
+        import jax.numpy as jnp
+
+        from ml_audio_inpainting_tpu.data.multigap import multi_gap_mask
+        from ml_audio_inpainting_tpu.ops.gaps import frame_mask_from_sample_mask
+
+        masks, _, _ = jax.vmap(
+            lambda k: multi_gap_mask(k, 16000, 3, sample_rate=16000)
+        )(jax.random.split(jax.random.PRNGKey(0), 2))
+        fm = frame_mask_from_sample_mask(masks, 4, 126, 128, rule="any")
+        assert fm.shape == (2, 4, 126)
+        # each clip: some holes, not all holes
+        holes = (np.asarray(fm)[:, 0] == 0).sum(axis=-1)
+        assert (holes > 0).all() and (holes < 126).all()
+
+
 class TestFrameMask:
     def test_floor_ceil_rule(self):
         """Frame coverage must match models/GAN/dataset.py:138-152."""
