@@ -42,7 +42,7 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--workers", type=int, default=4,
                    help="host decode threads (reference DataLoader num_workers=4)")
     p.add_argument("--train-n-gaps", type=int, default=None,
-                   help="GAN: train with N spacing-constrained gaps per clip "
+                   help="train with N spacing-constrained gaps per clip "
                         "(IRMAS-style) instead of the reference's single gap")
     return p
 

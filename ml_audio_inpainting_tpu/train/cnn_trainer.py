@@ -78,6 +78,7 @@ def _feature_fn(cfg: Config):
             sample_rate=cfg.data.sample_rate,
             n_samples=cfg.data.max_samples,
             gaps_per_audio=cfg.data.gaps_per_audio,
+            n_gaps=cfg.data.train_n_gaps,
         )
 
     return fn

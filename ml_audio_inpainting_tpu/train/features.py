@@ -109,7 +109,9 @@ def gan_features(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("spec", "gap_len_s", "sample_rate", "n_samples", "gaps_per_audio"),
+    static_argnames=(
+        "spec", "gap_len_s", "sample_rate", "n_samples", "gaps_per_audio", "n_gaps"
+    ),
 )
 def cnn_features(
     audio: jnp.ndarray,
@@ -119,11 +121,13 @@ def cnn_features(
     sample_rate: int = 16000,
     n_samples: int = 80000,
     gaps_per_audio: int = 1,
+    n_gaps: int = 1,
 ) -> Dict[str, jnp.ndarray]:
     """CNNBLSTM-profile batch features (``models/CNNBLSTM/dataset.py:74-121``).
 
     Each of B clips is expanded into G independently-gapped variants
-    (``gaps_per_audio``), flattened to a ``(B*G, ...)`` batch.  Returns:
+    (``gaps_per_audio``); ``n_gaps > 1`` makes each variant carry that many
+    spacing-constrained gaps (IRMAS-style training corruption).  Returns:
       log_gap      (B*G, F, N)  log10(|STFT(gapped)| + 1e-9)
       gap_mask     (B*G, F, N)  1 = gap / 0 = valid (CNNBLSTM convention;
                                 frame rule: floor at both ends, matching
@@ -142,18 +146,31 @@ def cnn_features(
     n_freq, n_time = spec_clean.shape[-2:]
 
     def per_variant(clip, k):
-        mask, s, e = _one_gap(k, n_samples, gap_len_s, sample_rate)
+        if n_gaps > 1:
+            from ml_audio_inpainting_tpu.data.multigap import multi_gap_mask
+            from ml_audio_inpainting_tpu.ops.gaps import frame_mask_from_sample_mask
+
+            mask, _, _ = multi_gap_mask(
+                k, n_samples, n_gaps,
+                max_gap_ms=gap_len_s * 1000.0, sample_rate=sample_rate,
+            )
+            # floor/floor rule generalized to arbitrary masks ("end").
+            gmask = 1.0 - frame_mask_from_sample_mask(
+                mask, n_freq, n_time, spec.hop_length, rule="end"
+            )
+        else:
+            mask, s, e = _one_gap(k, n_samples, gap_len_s, sample_rate)
+            # CNNBLSTM frame rule: floor(start/hop) .. floor(end/hop), 1 = gap.
+            t = jnp.arange(n_time)
+            hole = (t >= s // spec.hop_length) & (t < e // spec.hop_length)
+            gmask = jnp.broadcast_to(
+                jnp.where(hole, 1.0, 0.0)[None, :], (n_freq, n_time)
+            )
         spec_gap = stft(
             clip * mask,
             n_fft=spec.n_fft,
             hop_length=spec.hop_length,
             win_length=spec.win_length,
-        )
-        # CNNBLSTM frame rule: floor(start/hop) .. floor(end/hop), 1 = gap.
-        t = jnp.arange(n_time)
-        hole = (t >= s // spec.hop_length) & (t < e // spec.hop_length)
-        gmask = jnp.broadcast_to(
-            jnp.where(hole, 1.0, 0.0)[None, :], (n_freq, n_time)
         )
         return masking.log10_norm(jnp.abs(spec_gap)), gmask
 

@@ -128,6 +128,28 @@ class TestFeatures:
             runs = int(np.sum(row[1:] < row[:-1])) + int(row[0] == 0)
             assert runs == 3, (clip, runs)
 
+    def test_cnn_features_multi_gap(self):
+        """CNN training variant of --train-n-gaps: each gap variant must
+        carry n_gaps distinct hole runs (floor/floor rule per gap).
+        Production clip length -- at short lengths the spacing budget
+        shrinks gaps below a frame hop and floor/floor legitimately yields
+        fewer runs."""
+        spec = SpectrogramConfig(n_fft=512, hop_length=192, win_length=384)
+        audio = jnp.asarray(
+            np.random.default_rng(0).standard_normal((1, 80000)), jnp.float32
+        )
+        b = features.cnn_features(
+            audio, jax.random.PRNGKey(0), spec,
+            gap_len_s=0.08, sample_rate=16000, n_samples=80000,
+            gaps_per_audio=2, n_gaps=3,
+        )
+        m = np.asarray(b["gap_mask"])  # 1 = gap
+        assert m.shape[0] == 2
+        for i in range(2):
+            row = m[i, 0]
+            runs = int(np.sum(row[1:] > row[:-1])) + int(row[0] == 1)
+            assert runs == 3, (i, runs)
+
 
 class TestTraining:
     def test_loss_decreases_overfit(self, speech_like):
