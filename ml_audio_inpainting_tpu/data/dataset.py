@@ -156,12 +156,28 @@ class FormantSpeechDataset:
         max_len_s: float = 5.0,
         seed: int = 0,
         cache: bool = True,
+        cache_dir: Optional[str] = None,
     ):
         self.n_items = n_items
         self.sample_rate = sample_rate
         self.max_samples = int(sample_rate * max_len_s)
         self.seed = seed
         self._cache: Optional[dict] = {} if cache else None
+        # Items are deterministic in (seed, idx), so an on-disk cache is
+        # shareable across runs/processes (synthesis is ~0.3 s/item on one
+        # core).  Set MAI_FORMANT_CACHE=/path to enable by default.
+        cache_dir = cache_dir or os.environ.get("MAI_FORMANT_CACHE")
+        self._cache_dir: Optional[Path] = None
+        if cache_dir:
+            self._cache_dir = Path(cache_dir)
+            self._cache_dir.mkdir(parents=True, exist_ok=True)
+
+    def _disk_path(self, idx: int) -> Optional[Path]:
+        if self._cache_dir is None:
+            return None
+        return self._cache_dir / (
+            f"formant_s{self.seed}_r{self.sample_rate}_n{self.max_samples}_{idx}.npy"
+        )
 
     def __len__(self) -> int:
         return self.n_items
@@ -348,15 +364,23 @@ class FormantSpeechDataset:
     def __getitem__(self, idx: int) -> np.ndarray:
         if self._cache is not None and idx in self._cache:
             return self._cache[idx]
-        rng = np.random.default_rng(
-            int.from_bytes(
-                hashlib.blake2s(
-                    f"formant:{self.seed}:{idx}".encode(), digest_size=8
-                ).digest(),
-                "little",
+        path = self._disk_path(idx)
+        if path is not None and path.exists():
+            item = np.load(path)
+        else:
+            rng = np.random.default_rng(
+                int.from_bytes(
+                    hashlib.blake2s(
+                        f"formant:{self.seed}:{idx}".encode(), digest_size=8
+                    ).digest(),
+                    "little",
+                )
             )
-        )
-        item = self._synthesize(rng)
+            item = self._synthesize(rng)
+            if path is not None:
+                tmp = path.with_suffix(".tmp.npy")
+                np.save(tmp, item)
+                os.replace(tmp, path)  # atomic for concurrent readers
         if self._cache is not None:
             self._cache[idx] = item
         return item
