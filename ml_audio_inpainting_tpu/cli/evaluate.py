@@ -199,6 +199,7 @@ def main(argv=None) -> None:
     from ml_audio_inpainting_tpu.data.audio_io import load_audio, save_audio
     from ml_audio_inpainting_tpu.ops.gaps import gap_mask
     from ml_audio_inpainting_tpu.train.auditory import psm_score
+    from ml_audio_inpainting_tpu.train.peaq import odg_score
     from ml_audio_inpainting_tpu.train.metrics import (
         fwseg_snr,
         gap_sdr,
@@ -296,6 +297,9 @@ def main(argv=None) -> None:
             "psm": np.asarray(
                 psm_score(jnp.asarray(clean), jnp.asarray(restored))
             ),
+            "odg": np.asarray(
+                odg_score(jnp.asarray(clean), jnp.asarray(restored))
+            ),
         }
         results[model_name] = {k: [round(float(x), 3) for x in v] for k, v in r.items()}
         if args.reconstructions:
@@ -306,7 +310,7 @@ def main(argv=None) -> None:
 
     header = (
         f"{'model':>14} | {'gap SDR':>8} | {'SNR':>7} | {'LSD':>6} | "
-        f"{'fwsegSNR':>8} | {'PSM':>6}"
+        f"{'fwsegSNR':>8} | {'PSM':>6} | {'ODG':>6}"
     )
     print(header)
     print("-" * len(header))
@@ -314,7 +318,7 @@ def main(argv=None) -> None:
         print(
             f"{name:>14} | {np.mean(r['gap_sdr_db']):8.2f} | {np.mean(r['snr_db']):7.2f} | "
             f"{np.mean(r['lsd_db']):6.2f} | {np.mean(r['fwseg_snr_db']):8.2f} | "
-            f"{np.mean(r['psm']):6.3f}"
+            f"{np.mean(r['psm']):6.3f} | {np.mean(r['odg']):6.2f}"
         )
 
     if args.output_json:

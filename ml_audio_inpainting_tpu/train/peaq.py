@@ -1,0 +1,248 @@
+"""PEAQ-class objective difference grade (ODG): the third reference metric.
+
+The reference's metric triad is gap-SDR, PEMO-Q PSM, and **PEAQ ODG**
+(``models/AudioReg/train.m:203-211``, ``model_eval.m:68-72``, recorded in
+``model_comparison.mat``: CNN -3.80, GAN -3.91, AR -1.73).  PEAQ
+(ITU-R BS.1387) is a proprietary-toolbox binary in the reference; this
+module implements the same model class openly and TPU-first:
+
+1. **FFT ear model** (the BS.1387 basic-version peripheral model):
+   Hann-windowed 2048-point frames at 50% overlap, playback-level scaling,
+   outer/middle-ear frequency weighting, grouping into 0.25-Bark critical
+   bands (``z = 7·asinh(f/650)``), internal noise, level-dependent
+   frequency-domain spreading (27 dB/Bark lower slope, ``-24 - 230/f +
+   0.2·L`` dB/Bark upper slope, 0.4-power non-linear superposition), and
+   forward time-domain smearing -- producing excitation patterns.
+2. **Masking threshold**: excitation scaled down by the standard's masking
+   offset (3 dB below 12 Bark, 0.25·z dB above).
+3. **Noise-to-mask ratio**: the unsmeared noise patterns of the difference
+   signal against the masking threshold, averaged over bands and frames
+   (the basic version's ``Total NMR_B`` model-output variable -- the MOV
+   most predictive of ODG for additive distortions of this kind).
+4. **ODG mapping**: BS.1387 maps eleven MOVs through a small trained
+   neural network whose fitted weights target its 1997 listening-test
+   corpus.  With one dominant MOV we use a two-parameter logistic
+   ``ODG = -4·sigmoid((NMR - c)/s)`` instead, calibrated once against the
+   reference's own recorded PEAQ values for its two shipped
+   reconstructions (``model_comparison.mat``: GAN -3.91, CNN -3.80 on the
+   anchor clip) -- the identical substitution methodology used for the
+   PSM metric (``train/auditory.py``).  ``tests/test_peaq.py`` validates
+   the recorded ordering (CNN milder than GAN, which the raw NMR already
+   reproduces: 2.6 vs 14.1 dB) plus held-out behavior the calibration
+   never saw: identity ~0, and local gap dropouts grading ~1-1.5 grades
+   milder than the broadband Griffin-Lim resynthesis error of the neural
+   artifacts -- the same qualitative gap PEAQ recorded between its AR
+   row (-1.73) and the neural rows (-3.8/-3.9).
+
+The model runs at the corpus rate (16 kHz).  The reference resamples to
+48 kHz purely because the PEAQ binary demands it (``model_eval.m:68-70``);
+its 16 kHz signals carry no content above 8 kHz, so bands above the
+16 kHz Nyquist see zero energy either way.  Everything here is
+static-shaped jnp -- band grouping and spreading are matmuls against
+host-precomputed constants, time smearing is a short ``lax.scan`` over
+frames -- so ``odg_score`` jits and vmaps cleanly.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+__all__ = ["excitation_patterns", "nmr_total", "odg_score"]
+
+#: playback level assumed by the standard (dB SPL for a full-scale sine)
+_LISTENING_LEVEL_DB = 92.0
+_FRAME = 2048
+_HOP = 1024
+_BARK_RES = 0.25
+_F_LO = 80.0
+
+# Logistic NMR->ODG calibration (see module docstring and
+# tests/test_peaq.py).  Solved exactly from the reference's two recorded
+# anchors: total-NMR of its shipped CNN reconstruction of the anchor clip
+# (2.646 dB -> recorded ODG -3.80) and GAN reconstruction (14.116 dB ->
+# -3.91).  With two free parameters and two anchors the fit is exact by
+# construction; what the tests validate is held-out behavior -- identity
+# -> ~0, local-dropout distortions grade milder than broadband
+# Griffin-Lim resynthesis error (matching PEAQ's recorded -1.73 for the
+# classical solver vs -3.8/-3.9 for the neural outputs), and
+# monotonicity in additive noise.
+_ODG_C = -38.1901
+_ODG_S = 13.8688
+
+
+def _bark(f):
+    """BS.1387 Bark approximation (Schroeder): ``z = 7·asinh(f/650)``."""
+    return 7.0 * np.arcsinh(np.asarray(f) / 650.0)
+
+
+def _outer_middle_ear_db(f_hz: np.ndarray) -> np.ndarray:
+    """Outer/middle-ear weighting W(f) in dB (BS.1387 eq. for the FFT model)."""
+    f = np.maximum(f_hz, 1e-3) / 1000.0
+    return (
+        -0.6 * 3.64 * f**-0.8
+        + 6.5 * np.exp(-0.6 * (f - 3.3) ** 2)
+        - 1e-3 * f**3.6
+    )
+
+
+@functools.lru_cache(maxsize=8)
+def _ear_constants(sample_rate: int):
+    """Host-precomputed constants: grouping matrix, weightings, band grid.
+
+    Returns numpy arrays; jit traces embed them as ready constants.
+    """
+    n_bins = _FRAME // 2 + 1
+    freqs = np.fft.rfftfreq(_FRAME, 1.0 / sample_rate)
+
+    # Band grid: 0.25-Bark bands from 80 Hz to Nyquist.
+    z_lo = _bark(_F_LO)
+    z_hi = _bark(sample_rate / 2.0)
+    n_bands = int(np.floor((z_hi - z_lo) / _BARK_RES))
+    z_edges = z_lo + _BARK_RES * np.arange(n_bands + 1)
+    z_c = 0.5 * (z_edges[:-1] + z_edges[1:])
+    fc = 650.0 * np.sinh(z_c / 7.0)
+
+    # Fractional-overlap grouping matrix (n_bands, n_bins): each FFT bin's
+    # energy is distributed to the bands its width overlaps (the standard
+    # splits bins that straddle a band edge proportionally).
+    bin_z_lo = _bark(np.maximum(freqs - 0.5 * sample_rate / _FRAME, 0.0))
+    bin_z_hi = _bark(freqs + 0.5 * sample_rate / _FRAME)
+    bin_w = np.maximum(bin_z_hi - bin_z_lo, 1e-12)
+    lo = np.maximum(z_edges[:-1, None], bin_z_lo[None, :])
+    hi = np.minimum(z_edges[1:, None], bin_z_hi[None, :])
+    G = np.maximum(hi - lo, 0.0) / bin_w[None, :]
+
+    # Outer/middle-ear power weighting per bin.
+    W = 10.0 ** (_outer_middle_ear_db(freqs) / 10.0)
+
+    # Full-scale sine -> 92 dB SPL: a unit sine through the √(8/3)-scaled
+    # Hann window has DFT peak power (8/3)·(N/4)²; fold everything into one
+    # per-frame power scale so band energies are in "SPL intensity" units.
+    peak = (8.0 / 3.0) * (_FRAME / 4.0) ** 2
+    level_scale = 10.0 ** (_LISTENING_LEVEL_DB / 10.0) / peak
+
+    # Internal noise floor (added to excitation) per band.
+    e_internal = 10.0 ** (0.4 * 0.364 * (fc / 1000.0) ** -0.8)
+
+    # Time-smearing coefficients: tau = 8 ms + (100 Hz/fc)·22 ms.
+    tau = 0.008 + (100.0 / fc) * (0.030 - 0.008)
+    alpha = np.exp(-_HOP / (sample_rate * tau))
+
+    # Masking offset: 3 dB for z<=12 Bark, 0.25·z dB above.
+    m_db = np.where(z_c <= 12.0, 3.0, 0.25 * z_c)
+    mask_div = 10.0 ** (m_db / 10.0)
+
+    return (
+        G.astype(np.float32),
+        W.astype(np.float32),
+        np.float32(level_scale),
+        fc.astype(np.float32),
+        z_c.astype(np.float32),
+        e_internal.astype(np.float32),
+        alpha.astype(np.float32),
+        mask_div.astype(np.float32),
+    )
+
+
+def _frame_power_spectra(x: jnp.ndarray, sample_rate: int) -> jnp.ndarray:
+    """``(..., T)`` -> weighted band power ``(..., n_frames, n_bins)``."""
+    T = x.shape[-1]
+    n_frames = max(1, (T - _FRAME) // _HOP + 1)
+    idx = np.arange(n_frames)[:, None] * _HOP + np.arange(_FRAME)[None, :]
+    frames = x[..., idx]  # (..., n_frames, FRAME)
+    win = jnp.asarray(np.sqrt(8.0 / 3.0) * np.hanning(_FRAME).astype(np.float32))
+    X = jnp.fft.rfft(frames * win)
+    return jnp.abs(X) ** 2
+
+
+def _band_patterns(x: jnp.ndarray, sample_rate: int) -> jnp.ndarray:
+    """Outer-ear-weighted critical-band ("pitch") patterns
+    ``(..., n_frames, n_bands)`` -- the unsmeared patterns the NMR's noise
+    side uses."""
+    G, W, level_scale, *_ = _ear_constants(sample_rate)
+    P = _frame_power_spectra(x, sample_rate) * level_scale
+    return (P * jnp.asarray(W)) @ jnp.asarray(G).T
+
+
+def _spread(bands: jnp.ndarray, sample_rate: int) -> jnp.ndarray:
+    """Level-dependent frequency spreading with 0.4-power superposition.
+
+    ``bands``: (..., n_frames, n_bands) -> same shape.
+    """
+    _, _, _, fc, z_c, *_ = _ear_constants(sample_rate)
+    dz = jnp.asarray(z_c[:, None] - z_c[None, :])  # (target j, source k)
+
+    # Lower slope (toward lower frequencies, dz<0): 27 dB/Bark.
+    # Upper slope (dz>0): -24 - 230/fc + 0.2·L dB/Bark, L = source level dB.
+    L = 10.0 * jnp.log10(jnp.maximum(bands, 1e-12))  # (..., F, K)
+    s_upper = -24.0 - 230.0 / jnp.asarray(fc)[None, :] + 0.2 * L  # (..., F, K)
+    lower_db = jnp.where(dz < 0.0, dz * 27.0, 0.0)  # (J, K) dB
+    upper_gain = jnp.maximum(dz, 0.0)  # (J, K): multiplies per-source slope
+
+    # w[..., j, k] = 10^{(lower + upper_gain·s_upper_k)/10} applied to E_k.
+    w_db = lower_db + upper_gain * s_upper[..., None, :]  # (..., F, J, K)
+    w = 10.0 ** (w_db / 10.0)
+    # Normalize each source band's spreading to unit total energy.
+    w = w / jnp.sum(w, axis=-2, keepdims=True)
+
+    # Non-linear superposition: E_s[j] = (sum_k (w·E_k)^0.4)^(1/0.4).
+    e = jnp.sum((w * bands[..., None, :]) ** 0.4, axis=-1) ** 2.5
+    return e
+
+
+def excitation_patterns(x: jnp.ndarray, sample_rate: int = 16000) -> jnp.ndarray:
+    """Excitation patterns ``(..., n_frames, n_bands)`` of the FFT ear model
+    (weighting -> band grouping -> spreading -> internal noise -> time
+    smearing)."""
+    consts = _ear_constants(sample_rate)
+    e_internal, alpha = jnp.asarray(consts[5]), jnp.asarray(consts[6])
+    e = _spread(_band_patterns(x, sample_rate), sample_rate) + e_internal
+
+    # Forward smearing: e_f[n] = a·e_f[n-1] + (1-a)·e[n]; E = max(e_f, e).
+    def step(carry, en):
+        ef = alpha * carry + (1.0 - alpha) * en
+        return ef, jnp.maximum(ef, en)
+
+    # scan over the frame axis (move it first).
+    e_t = jnp.moveaxis(e, -2, 0)
+    _, sm = jax.lax.scan(step, jnp.zeros_like(e_t[0]), e_t)
+    return jnp.moveaxis(sm, 0, -2)
+
+
+@functools.partial(jax.jit, static_argnames=("sample_rate",))
+def nmr_total(
+    reference: jnp.ndarray, test: jnp.ndarray, sample_rate: int = 16000
+) -> jnp.ndarray:
+    """Total noise-to-mask ratio in dB (BS.1387 basic ``Total NMR_B`` MOV).
+
+    Noise patterns: critical-band energies of the *spectral difference*
+    (|√P_ref − √P_test|² per bin, outer-ear weighted) -- unspread.
+    Mask: reference excitation / masking offset.
+    """
+    G, W, level_scale, _, _, _, _, mask_div = _ear_constants(sample_rate)
+    Pr = _frame_power_spectra(reference, sample_rate) * level_scale
+    Pt = _frame_power_spectra(test, sample_rate) * level_scale
+    noise_bins = (jnp.sqrt(Pr) - jnp.sqrt(Pt)) ** 2 * jnp.asarray(W)
+    P_noise = noise_bins @ jnp.asarray(G).T  # (..., F, K)
+
+    M = excitation_patterns(reference, sample_rate) / jnp.asarray(mask_div)
+    nmr = jnp.mean(P_noise / jnp.maximum(M, 1e-12), axis=(-1, -2))
+    return 10.0 * jnp.log10(jnp.maximum(nmr, 1e-12))
+
+
+@functools.partial(jax.jit, static_argnames=("sample_rate",))
+def odg_score(
+    reference: jnp.ndarray, test: jnp.ndarray, sample_rate: int = 16000
+) -> jnp.ndarray:
+    """Objective difference grade in [-4, 0] (0 = imperceptible,
+    -4 = very annoying), batched over leading axes.
+
+    ``ODG = -4·sigmoid((TotalNMR - c)/s)`` with (c, s) calibrated against
+    the reference's recorded PEAQ values (module docstring).
+    """
+    nmr = nmr_total(reference, test, sample_rate)
+    return -4.0 * jax.nn.sigmoid((nmr - _ODG_C) / _ODG_S)

@@ -1,0 +1,127 @@
+"""PEAQ-class ODG metric: the reference's third quality score
+(``models/AudioReg/train.m:203-211``, ``model_eval.m:68-72``; recorded in
+``model_comparison.mat``: CNN -3.80, GAN -3.91, AR -1.73).
+
+The NMR->ODG logistic is calibrated exactly on the two shipped anchors, so
+the meaningful tests here are the held-out ones: ear-model physics
+(selectivity, masking), identity ~0, noise monotonicity, and the
+local-dropout-vs-broadband-resynthesis grade gap PEAQ itself recorded.
+"""
+
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+jnp = pytest.importorskip("jax.numpy")
+
+from ml_audio_inpainting_tpu.train.peaq import (  # noqa: E402
+    excitation_patterns,
+    nmr_total,
+    odg_score,
+)
+
+REF = Path("/root/reference/test_samples")
+REC = Path("/root/reference/test_samples_reconstructed")
+
+
+def _load(p):
+    from ml_audio_inpainting_tpu.data.audio_io import load_audio
+
+    return np.asarray(load_audio(p, sample_rate=16000, max_len=5.0)[0])
+
+
+class TestEarModel:
+    def test_excitation_selectivity(self):
+        """A pure tone must excite the band containing it most strongly."""
+        sr = 16000
+        t = np.arange(2 * sr) / sr
+        x = jnp.asarray(0.5 * np.sin(2 * np.pi * 1000.0 * t).astype(np.float32))
+        E = np.asarray(excitation_patterns(x, sr))  # (F, K)
+        from ml_audio_inpainting_tpu.train.peaq import _ear_constants
+
+        fc = _ear_constants(sr)[3]
+        k = int(np.argmax(E.mean(axis=0)))
+        assert abs(fc[k] - 1000.0) < 200.0, fc[k]
+
+    def test_spreading_is_asymmetric_upward(self):
+        """Masking spreads more toward higher frequencies (shallow upper
+        slope) than lower (27 dB/Bark)."""
+        sr = 16000
+        t = np.arange(sr) / sr
+        x = jnp.asarray(0.5 * np.sin(2 * np.pi * 1000.0 * t).astype(np.float32))
+        E = np.asarray(excitation_patterns(x, sr)).mean(axis=0)
+        from ml_audio_inpainting_tpu.train.peaq import _ear_constants
+
+        fc = _ear_constants(sr)[3]
+        k = int(np.argmax(E))
+        # 4 bands (1 Bark) away on either side: upper must exceed lower.
+        assert E[k + 4] > E[k - 4]
+
+    def test_batched_shapes(self):
+        x = jnp.zeros((2, 3, 16000))
+        E = excitation_patterns(x, 16000)
+        assert E.ndim == 4 and E.shape[:2] == (2, 3)
+        odg = np.asarray(odg_score(x + 0.1, x))
+        assert odg.shape == (2, 3)
+
+
+class TestODG:
+    def test_identity_is_transparent(self, speech_like):
+        x = jnp.asarray(speech_like)
+        assert float(odg_score(x, x)) > -0.05
+
+    def test_range(self, speech_like):
+        x = jnp.asarray(speech_like)
+        rng = np.random.default_rng(0)
+        y = x + 0.5 * rng.standard_normal(len(speech_like)).astype(np.float32)
+        v = float(odg_score(x, y))
+        assert -4.0 <= v <= 0.0
+
+    def test_noise_monotonicity(self, speech_like):
+        rng = np.random.default_rng(0)
+        x = jnp.asarray(speech_like)
+        noise = rng.standard_normal(len(speech_like)).astype(np.float32)
+        scores = [float(odg_score(x, x + lvl * noise)) for lvl in (0.003, 0.03, 0.3)]
+        assert scores[0] > scores[1] > scores[2], scores
+
+    @pytest.mark.skipif(not REC.exists(), reason="reference artifacts unavailable")
+    def test_reproduces_recorded_peaq_anchors(self):
+        """The two shipped reconstructions must reproduce their recorded
+        PEAQ ODGs (calibration is exact on these two by construction --
+        this guards the ear model + constants against regression) and
+        keep the recorded ordering, which the raw NMR produces on its
+        own."""
+        clean = jnp.asarray(_load(REF / "81-121543-0008.flac"))
+        cnn = float(
+            odg_score(clean, jnp.asarray(_load(REC / "81-121543-0008_cnnlstm_inpainted.flac")))
+        )
+        gan = float(
+            odg_score(clean, jnp.asarray(_load(REC / "81-121543-0008_gan_inpainted.flac")))
+        )
+        assert cnn == pytest.approx(-3.80, abs=0.05), cnn
+        assert gan == pytest.approx(-3.91, abs=0.05), gan
+        assert cnn > gan
+        # Held-out ordering: the raw MOV, not the mapping.
+        n_cnn = float(nmr_total(clean, jnp.asarray(_load(REC / "81-121543-0008_cnnlstm_inpainted.flac"))))
+        n_gan = float(nmr_total(clean, jnp.asarray(_load(REC / "81-121543-0008_gan_inpainted.flac"))))
+        assert n_cnn < n_gan
+
+    @pytest.mark.skipif(not REF.exists(), reason="reference artifacts unavailable")
+    def test_local_dropout_grades_milder_than_broadband_error(self):
+        """Held-out validation of the grade scale: PEAQ recorded ~2 grades
+        between the gap-local AR solution (-1.73) and the whole-signal
+        Griffin-Lim-resynthesized neural outputs (-3.8/-3.9).  An 80 ms
+        zero-filled dropout (strictly worse than any AR fill, locally)
+        must still grade >= 1 grade milder than the shipped neural
+        artifacts."""
+        clean = _load(REF / "81-121543-0008.flac")
+        mask = np.ones_like(clean)
+        mask[32000:33280] = 0.0
+        c = jnp.asarray(clean)
+        drop = float(odg_score(c, jnp.asarray(clean * mask)))
+        gan = float(
+            odg_score(c, jnp.asarray(_load(REC / "81-121543-0008_gan_inpainted.flac")))
+        )
+        assert drop > gan + 1.0, (drop, gan)
+        assert -3.5 < drop < -1.0, drop
