@@ -25,9 +25,12 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--config", type=str, default=None, help="YAML config path")
     p.add_argument("--data-root", type=str, default=None, help="override data.root_path")
     p.add_argument("--synthetic", type=int, default=0, help="use N synthetic clips instead of files")
-    p.add_argument("--corpus", choices=["formant", "harmonic"], default="formant",
+    p.add_argument("--corpus", choices=["formant", "formant_v2", "harmonic"],
+                   default="formant",
                    help="synthetic corpus style: formant-synthesized pseudo-speech "
-                        "(default) or the simple harmonic stack")
+                        "(default), its richer v2 variant (nasals, diphthongs, "
+                        "clusters, rate/breathiness variation), or the simple "
+                        "harmonic stack")
     p.add_argument("--epochs", type=int, default=None)
     p.add_argument("--batch-size", type=int, default=None)
     p.add_argument("--steps", type=int, default=None, help="hard cap on total steps")
@@ -48,12 +51,18 @@ def build_argparser() -> argparse.ArgumentParser:
 
 
 def _synthetic_cls(args):
+    import functools
+
     from ml_audio_inpainting_tpu.data.dataset import (
         FormantSpeechDataset,
         SyntheticSpeechDataset,
     )
 
-    return FormantSpeechDataset if args.corpus == "formant" else SyntheticSpeechDataset
+    if args.corpus == "harmonic":
+        return SyntheticSpeechDataset
+    if args.corpus == "formant_v2":
+        return functools.partial(FormantSpeechDataset, variant="v2")
+    return FormantSpeechDataset
 
 
 def make_dataset(cfg, args):

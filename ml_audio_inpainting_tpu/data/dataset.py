@@ -143,7 +143,15 @@ class FormantSpeechDataset:
     reference trains on a local train-clean-100 tree,
     ``models/CNNBLSTM/cnn_blstm.yaml:12``); this is the honest
     no-eval-overlap training corpus.  Items are deterministic in
-    ``(seed, idx)`` and RAM-cached (decode cost ~50 ms/item).
+    ``(seed, idx, variant)`` and RAM-cached (decode cost ~50 ms/item).
+
+    ``variant="v1"`` (default) is byte-identical to the corpus behind the
+    committed round-2 checkpoints.  ``variant="v2"`` adds phenomena real
+    read speech has and v1 lacks: per-speaker speaking rate and
+    breathiness, diphthongs (within-vowel formant glides), nasal murmurs
+    with an anti-resonance notch, onset consonant clusters
+    (plosive+fricative), voiced fricatives, and accented-syllable f0
+    excursions on top of the phrase declination.
     """
 
     #: per-frame hop of the parameter tracks (10 ms at 16 kHz)
@@ -157,11 +165,15 @@ class FormantSpeechDataset:
         seed: int = 0,
         cache: bool = True,
         cache_dir: Optional[str] = None,
+        variant: str = "v1",
     ):
+        if variant not in ("v1", "v2"):
+            raise ValueError(f"unknown corpus variant {variant!r}")
         self.n_items = n_items
         self.sample_rate = sample_rate
         self.max_samples = int(sample_rate * max_len_s)
         self.seed = seed
+        self.variant = variant
         self._cache: Optional[dict] = {} if cache else None
         # Items are deterministic in (seed, idx), so an on-disk cache is
         # shareable across runs/processes (synthesis is ~0.3 s/item on one
@@ -175,8 +187,9 @@ class FormantSpeechDataset:
     def _disk_path(self, idx: int) -> Optional[Path]:
         if self._cache_dir is None:
             return None
+        tag = "" if self.variant == "v1" else f"_{self.variant}"
         return self._cache_dir / (
-            f"formant_s{self.seed}_r{self.sample_rate}_n{self.max_samples}_{idx}.npy"
+            f"formant{tag}_s{self.seed}_r{self.sample_rate}_n{self.max_samples}_{idx}.npy"
         )
 
     def __len__(self) -> int:
@@ -185,23 +198,32 @@ class FormantSpeechDataset:
     # -- timeline ----------------------------------------------------------
 
     def _build_tracks(self, rng):
-        """Frame-rate parameter tracks: voicing, gain, f0, formants, noise."""
+        """Frame-rate parameter tracks: voicing, gain, f0, formants, noise.
+
+        All v2-only randomness is drawn inside ``if rich:`` guards placed
+        *after* the v1 draws they follow, so the v1 stream (and therefore
+        every committed v1 item) is bit-identical to round 2.
+        """
         sr = self.sample_rate
+        rich = self.variant == "v2"
         n_frames = self.max_samples // self.FRAME + 1
 
         # Speaker identity.
         f0_base = np.exp(rng.uniform(np.log(85.0), np.log(235.0)))
         f_shift = rng.uniform(0.88, 1.18)  # vocal-tract length factor
+        rate = rng.uniform(0.72, 1.35) if rich else 1.0  # speaking rate
 
         voiced = np.zeros(n_frames)
         gain = np.zeros(n_frames)
         fric = np.zeros(n_frames)  # fricative/burst noise gain
         fric_freq = np.full(n_frames, 4500.0)
+        nasal = np.zeros(n_frames)  # anti-resonance notch active
         f0 = np.full(n_frames, f0_base)
         # Formant targets, filled per syllable then smoothed.
         F = np.tile(np.array([500.0, 1500.0, 2500.0, 3600.0]), (n_frames, 1))
 
         frame_s = self.FRAME / sr
+        accents = []  # (start, end) nucleus spans to accent in v2
         t_f = 0  # current frame
         while t_f < n_frames:
             # Pause between phrases.
@@ -218,29 +240,63 @@ class FormantSpeechDataset:
                 # Optional onset consonant.
                 c = rng.uniform()
                 if c < 0.22:  # plosive: silence then a short burst
-                    t_f += int(rng.uniform(0.03, 0.07) / frame_s)
+                    t_f += int(rng.uniform(0.03, 0.07) / rate / frame_s)
                     burst = max(1, int(rng.uniform(0.01, 0.03) / frame_s))
                     e = min(n_frames, t_f + burst)
                     fric[t_f:e] = rng.uniform(0.5, 1.0)
                     fric_freq[t_f:e] = rng.uniform(1500.0, 6000.0)
                     t_f = e
+                    if rich and rng.uniform() < 0.35:
+                        # Cluster: the plosive releases into a fricative
+                        # (affricate / sC-cluster texture).
+                        dur = max(1, int(rng.uniform(0.04, 0.10) / rate / frame_s))
+                        e = min(n_frames, t_f + dur)
+                        fric[t_f:e] = rng.uniform(0.2, 0.5)
+                        fric_freq[t_f:e] = rng.uniform(2800.0, 6500.0)
+                        t_f = e
                 elif c < 0.50:  # fricative
-                    dur = max(1, int(rng.uniform(0.05, 0.14) / frame_s))
+                    dur = max(1, int(rng.uniform(0.05, 0.14) / rate / frame_s))
                     e = min(n_frames, t_f + dur)
                     ramp = np.minimum(np.arange(e - t_f) + 1, 4) / 4.0
                     fric[t_f:e] = rng.uniform(0.15, 0.5) * ramp
                     fric_freq[t_f:e] = rng.uniform(2800.0, 6500.0)
+                    if rich and rng.uniform() < 0.30:
+                        # Voiced fricative (/z/, /v/): keep the glottal
+                        # source running under the noise.
+                        voiced[t_f:e] = 0.7
+                        gain[t_f:e] = 0.4
+                    t_f = e
+                elif rich and c < 0.62:
+                    # Nasal onset (/m/, /n/): voiced low murmur with an
+                    # anti-resonance; F1 low, upper formants damped by the
+                    # notch in synthesis.
+                    dur = max(1, int(rng.uniform(0.04, 0.10) / rate / frame_s))
+                    e = min(n_frames, t_f + dur)
+                    F[t_f:e, 0] = rng.uniform(240.0, 320.0) * f_shift
+                    F[t_f:e, 1] = rng.uniform(1000.0, 1400.0) * f_shift
+                    voiced[t_f:e] = 1.0
+                    gain[t_f:e] = rng.uniform(0.25, 0.45)
+                    nasal[t_f:e] = 1.0
                     t_f = e
                 # Voiced nucleus (vowel).
-                dur = max(2, int(rng.uniform(0.07, 0.24) / frame_s))
+                dur = max(2, int(rng.uniform(0.07, 0.24) / rate / frame_s))
                 e = min(n_frames, t_f + dur)
                 if e <= t_f:
                     break
                 f1 = rng.uniform(260.0, 850.0)
                 f2 = rng.uniform(f1 + 300.0, 2350.0)
                 f3 = rng.uniform(max(f2 + 350.0, 2300.0), 3200.0)
-                F[t_f:e, 0] = f1 * f_shift
-                F[t_f:e, 1] = f2 * f_shift
+                if rich and rng.uniform() < 0.35:
+                    # Diphthong: glide to a second target across the
+                    # nucleus (real vowels move; v1's are stationary).
+                    f1b = rng.uniform(260.0, 850.0)
+                    f2b = rng.uniform(f1b + 300.0, 2350.0)
+                    span = e - t_f
+                    F[t_f:e, 0] = np.linspace(f1, f1b, span) * f_shift
+                    F[t_f:e, 1] = np.linspace(f2, f2b, span) * f_shift
+                else:
+                    F[t_f:e, 0] = f1 * f_shift
+                    F[t_f:e, 1] = f2 * f_shift
                 F[t_f:e, 2] = f3 * f_shift
                 F[t_f:e, 3] = rng.uniform(3400.0, 4000.0) * f_shift
                 voiced[t_f:e] = 1.0
@@ -250,12 +306,18 @@ class FormantSpeechDataset:
                 env[:a] = np.linspace(0.3, 1.0, a)
                 env[-1] = 0.5
                 gain[t_f:e] = rng.uniform(0.45, 1.0) * env
+                if rich and rng.uniform() < 0.25:
+                    accents.append((t_f, e))
                 phrase_len_est = t_f + dur - phrase_start
                 t_f = e
             # Declination over the phrase.
             pe = min(n_frames, phrase_start + max(phrase_len_est, 1))
             decl = np.linspace(1.12, 0.85, pe - phrase_start)
             f0[phrase_start:pe] = f0_base * decl
+
+        # Accented syllables ride an f0 excursion on top of declination.
+        for (s, e) in accents:
+            f0[s:e] *= rng.uniform(1.08, 1.25)
 
         # Smooth everything that must move continuously (formants glide
         # through consonants; gain/voicing have soft edges).
@@ -270,7 +332,7 @@ class FormantSpeechDataset:
         gain = smooth(gain, 5)
         fric = smooth(fric, 3)
         f0 = smooth(f0, 7) * (1.0 + 0.01 * rng.standard_normal(n_frames))
-        return voiced, gain, fric, fric_freq, f0, F
+        return voiced, gain, fric, fric_freq, f0, F, nasal
 
     # -- synthesis ----------------------------------------------------------
 
@@ -279,7 +341,8 @@ class FormantSpeechDataset:
 
         sr = self.sample_rate
         n = self.max_samples
-        voiced, gain, fric, fric_freq, f0, F = self._build_tracks(rng)
+        rich = self.variant == "v2"
+        voiced, gain, fric, fric_freq, f0, F, nasal = self._build_tracks(rng)
         n_frames = len(voiced)
 
         # Per-sample source tracks.
@@ -294,12 +357,24 @@ class FormantSpeechDataset:
         phase = np.cumsum(f0_s) / sr
         saw = 2.0 * (phase % 1.0) - 1.0
         saw = lfilter([0.06], [1.0, -0.94], saw)
-        aspiration = 0.02 * rng.standard_normal(n)
+        # Per-speaker breathiness in v2 (v1: fixed 0.02).
+        asp_level = rng.uniform(0.01, 0.06) if rich else 0.02
+        aspiration = asp_level * rng.standard_normal(n)
         source = voiced_s * gain_s * (saw + aspiration)
 
         # Cascade formant filtering with frame-wise constant biquads.
         bw = np.array([80.0, 110.0, 160.0, 220.0])  # formant bandwidths (Hz)
         r = np.exp(-np.pi * bw / sr)  # (4,)
+        if rich:
+            # Nasal anti-resonance: a unit-DC-gain notch applied during
+            # nasal murmurs (the spectral zero vowels lack).
+            fz = rng.uniform(750.0, 1100.0)
+            tz = 2.0 * np.pi * fz / sr
+            rz = 0.93
+            a_nz = np.array([1.0, -2.0 * rz * np.cos(tz), rz * rz])
+            k_nz = a_nz.sum() / (2.0 - 2.0 * np.cos(tz))
+            b_nz = k_nz * np.array([1.0, -2.0 * np.cos(tz), 1.0])
+            zi_nz = np.zeros(2)
         voiced_path = np.zeros(n)
         state = np.zeros((4, 2))
         for i in range(n_frames):
@@ -312,6 +387,8 @@ class FormantSpeechDataset:
                 a = np.array([1.0, -2.0 * r[j] * np.cos(theta), r[j] * r[j]])
                 b = np.array([1.0 - r[j]])
                 seg, state[j] = lfilter(b, a, seg, zi=state[j])
+            if rich and nasal[i] > 0.5:
+                seg, zi_nz = lfilter(b_nz, a_nz, seg, zi=zi_nz)
             voiced_path[s0:s1] = seg
 
         # Fricatives / bursts: noise through a single wide resonator.
@@ -368,11 +445,16 @@ class FormantSpeechDataset:
         if path is not None and path.exists():
             item = np.load(path)
         else:
+            # v1 keeps the original hash string so committed checkpoints
+            # remain exactly reproducible.
+            key = (
+                f"formant:{self.seed}:{idx}"
+                if self.variant == "v1"
+                else f"formant:{self.variant}:{self.seed}:{idx}"
+            )
             rng = np.random.default_rng(
                 int.from_bytes(
-                    hashlib.blake2s(
-                        f"formant:{self.seed}:{idx}".encode(), digest_size=8
-                    ).digest(),
+                    hashlib.blake2s(key.encode(), digest_size=8).digest(),
                     "little",
                 )
             )

@@ -15,9 +15,9 @@ from ml_audio_inpainting_tpu.data.dataset import FormantSpeechDataset
 SR = 16000
 
 
-@pytest.fixture(scope="module")
-def items():
-    ds = FormantSpeechDataset(n_items=6, cache=False)
+@pytest.fixture(scope="module", params=["v1", "v2"])
+def items(request):
+    ds = FormantSpeechDataset(n_items=6, cache=False, variant=request.param)
     return [ds[i] for i in range(6)]
 
 
@@ -34,6 +34,23 @@ class TestFormantCorpus:
         np.testing.assert_array_equal(a[2], b[2])
         c = FormantSpeechDataset(n_items=4, seed=1, cache=False)
         assert not np.array_equal(a[2], c[2])
+
+    def test_v1_stream_pinned(self):
+        """The committed round-2 checkpoints were trained on v1; its PRNG
+        stream must never drift (corpus-variant work is additive-only)."""
+        import hashlib
+
+        x = FormantSpeechDataset(n_items=1, cache=False)[0]
+        assert hashlib.blake2s(x.tobytes()).hexdigest()[:16] == "478e3c3c324f911f"
+
+    def test_v2_differs_and_is_deterministic(self):
+        a = FormantSpeechDataset(n_items=2, cache=False, variant="v2")
+        b = FormantSpeechDataset(n_items=2, cache=False, variant="v2")
+        v1 = FormantSpeechDataset(n_items=2, cache=False)
+        np.testing.assert_array_equal(a[1], b[1])
+        assert not np.array_equal(a[1], v1[1])
+        with pytest.raises(ValueError):
+            FormantSpeechDataset(variant="v3")
 
     def test_speech_like_duty_cycle(self, items):
         """Real read speech has substantial pauses but is mostly active
@@ -64,7 +81,8 @@ class TestFormantCorpus:
                 return 10 * np.log10(p[(f >= lo) & (f < hi)].sum() + 1e-12)
 
             ref = band(250, 500)
-            assert band(2000, 4000) - ref < -5.0
+            # v2's voiced fricatives put a little more energy at 2-4 kHz.
+            assert band(2000, 4000) - ref < -3.5
             assert band(4000, 8000) - ref < -10.0
 
     def test_has_harmonic_structure(self, items):
