@@ -8,6 +8,7 @@ every host.
 """
 
 import json
+import os
 import subprocess
 import sys
 import textwrap
@@ -70,12 +71,21 @@ WORKER = textwrap.dedent(
 def test_two_process_data_parallel_training(tmp_path):
     script = tmp_path / "worker.py"
     script.write_text(WORKER)
+    repo_root = Path(__file__).resolve().parent.parent
+    # The worker imports the package by path: python adds the *script's*
+    # directory to sys.path, not the cwd, so pass the repo root explicitly
+    # (don't depend on an inherited PYTHONPATH).
+    env = dict(os.environ)
+    env["PYTHONPATH"] = str(repo_root) + (
+        os.pathsep + env["PYTHONPATH"] if env.get("PYTHONPATH") else ""
+    )
     procs = [
         subprocess.Popen(
             [sys.executable, str(script), str(i)],
             stdout=subprocess.PIPE,
             stderr=subprocess.PIPE,
-            cwd=Path(__file__).resolve().parent.parent,
+            cwd=repo_root,
+            env=env,
         )
         for i in range(2)
     ]
