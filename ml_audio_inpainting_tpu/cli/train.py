@@ -47,6 +47,17 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--train-n-gaps", type=int, default=None,
                    help="train with N spacing-constrained gaps per clip "
                         "(IRMAS-style) instead of the reference's single gap")
+    p.add_argument("--probe-every", type=int, default=0,
+                   help="score a held-out gap-SDR probe every N steps and "
+                        "keep the best checkpoint under checkpoints/best "
+                        "(0 = off). This operationalizes the measured GAN "
+                        "early-stopping recipe: adversarial quality peaks "
+                        "then regresses with continued training.")
+    p.add_argument("--probe-clips", type=int, default=8,
+                   help="number of held-out clips in the probe batch")
+    p.add_argument("--probe-patience", type=int, default=0,
+                   help="stop after P consecutive probes without a new best "
+                        "(0 = never stop early)")
     return p
 
 
@@ -163,6 +174,82 @@ def main(argv=None) -> None:
                 step,
                 {k: round(float(np.mean([v[k] for v in vals])), 4) for k in vals[0]},
             )
+    # Held-out quality probe + best-checkpoint tracking (--probe-every).
+    # The gap condition matches the evaluation contract: one 80 ms gap at
+    # t = 2.0 s (model_eval.py:64-70).  Selection is on gap-SDR; PSM is
+    # logged alongside.  Probe clips never overlap the training set
+    # (held-out synthetic seed, or the valid split for file corpora).
+    probe_clips = None
+    if args.probe_every:
+        if args.synthetic:
+            probe_ds = _synthetic_cls(args)(
+                n_items=args.probe_clips,
+                sample_rate=cfg.data.sample_rate,
+                max_len_s=cfg.data.max_len_s,
+                seed=4242,
+            )
+        else:
+            from ml_audio_inpainting_tpu.data.dataset import AudioFileDataset
+
+            vroot = Path(args.data_root or cfg.data.root_path) / cfg.data.valid_path
+            probe_ds = (
+                AudioFileDataset(
+                    vroot,
+                    sample_rate=cfg.data.sample_rate,
+                    max_len_s=cfg.data.max_len_s,
+                    max_files=args.probe_clips,
+                )
+                if vroot.exists()
+                else None
+            )
+        if probe_ds is not None and len(probe_ds) > 0:
+            k = min(args.probe_clips, len(probe_ds))
+            probe_clips = jnp.asarray(np.stack([probe_ds[i] for i in range(k)]))
+        else:
+            run.logger.warning("--probe-every set but no probe source; disabled")
+
+    probe_state = {"best": -np.inf, "best_step": -1, "stale": 0}
+    best_ckpt = None
+    if probe_clips is not None:
+        from ml_audio_inpainting_tpu.ops.gaps import gap_mask
+        from ml_audio_inpainting_tpu.train.auditory import psm_score
+        from ml_audio_inpainting_tpu.train.metrics import gap_sdr
+
+        best_ckpt = CheckpointManager(
+            run.checkpoint_dir / "best", save_interval_steps=1, max_to_keep=1
+        )
+        k = probe_clips.shape[0]
+        probe_gs = jnp.full((k,), int(2.0 * cfg.data.sample_rate), jnp.int32)
+        probe_gl = jnp.full((k,), int(0.08 * cfg.data.sample_rate), jnp.int32)
+        probe_gapm = 1.0 - jax.vmap(
+            lambda s, l: gap_mask(probe_clips.shape[-1], s, l)
+        )(probe_gs, probe_gl)
+
+        def run_probe(step, inpaint_fn, variables, payload):
+            """Returns True when patience is exhausted (stop training)."""
+            restored, _ = inpaint_fn(variables, probe_clips, probe_gs, probe_gl)
+            sdr = float(np.mean(np.asarray(gap_sdr(probe_clips, restored, probe_gapm))))
+            psm = float(np.mean(np.asarray(psm_score(probe_clips, restored))))
+            run.scalar("Probe/gap_sdr_db", sdr, step)
+            run.scalar("Probe/psm", psm, step)
+            if sdr > probe_state["best"] + 1e-6:
+                probe_state.update(best=sdr, best_step=step, stale=0)
+                best_ckpt.save(step, jax.device_get(payload), force=True)
+                run.logger.info(
+                    "probe @ step %d: gap-SDR %.2f dB, PSM %.3f (new best)",
+                    step, sdr, psm,
+                )
+                return False
+            probe_state["stale"] += 1
+            run.logger.info(
+                "probe @ step %d: gap-SDR %.2f dB, PSM %.3f (best %.2f @ %d, stale %d)",
+                step, sdr, psm, probe_state["best"], probe_state["best_step"],
+                probe_state["stale"],
+            )
+            return bool(
+                args.probe_patience and probe_state["stale"] >= args.probe_patience
+            )
+
     epochs = cfg.training.epochs if args.model == "gan" else cfg.training.max_n_epochs
     batches = batch_iterator(
         dataset, cfg.training.batch_size, shuffle=True, seed=args.seed,
@@ -194,6 +281,19 @@ def main(argv=None) -> None:
 
             eval_fn = make_cnn_eval_step(cfg)
 
+        probe_fn = None
+        if probe_clips is not None:
+            from ml_audio_inpainting_tpu.runtime.inference import make_cnn_inpaint_fn
+            from ml_audio_inpainting_tpu.train.cnn_trainer import build_model
+
+            probe_fn = make_cnn_inpaint_fn(cfg, build_model(cfg))
+
+        def cnn_probe(step, state):
+            variables = {"params": jax.device_get(state.params)}
+            if state.batch_stats is not None:
+                variables["batch_stats"] = jax.device_get(state.batch_stats)
+            return run_probe(step, probe_fn, variables, state)
+
         step = int(state.step)
         t0 = time.perf_counter()
         for audio in feed:
@@ -207,6 +307,9 @@ def main(argv=None) -> None:
                 run.logger.info("step %d loss %.4f (%.2f steps/s)", step, loss, rate)
             if args.valid_every and step % args.valid_every == 0:
                 run_validation(eval_fn, (state,), step, jax.random.PRNGKey(123))
+            if probe_fn is not None and step % args.probe_every == 0 and cnn_probe(step, state):
+                run.logger.info("early stop at step %d (probe patience)", step)
+                break
             if step % ckpt_every == 0:
                 ckpt.save(step, jax.device_get(state))
             if args.steps and step >= args.steps:
@@ -281,6 +384,22 @@ def main(argv=None) -> None:
 
             gan_eval_fn = make_gan_eval_step(cfg, vgg=vgg)
 
+        gan_probe_fn = None
+        if probe_clips is not None:
+            # Probe through the production serving mode (the headline eval
+            # condition), not the parity TB sampler.
+            gan_probe_fn = make_gan_inpaint_fn(
+                cfg, build_generator(cfg), mode="enhanced"
+            )
+
+        def gan_probe(step):
+            variables = {"params": jax.device_get(g_state.params)}
+            if g_state.batch_stats is not None:
+                variables["batch_stats"] = jax.device_get(g_state.batch_stats)
+            return run_probe(
+                step, gan_probe_fn, variables, {"g": g_state, "d": d_state}
+            )
+
         step = int(g_state.step)
         t0 = time.perf_counter()
         for audio in feed:
@@ -312,6 +431,9 @@ def main(argv=None) -> None:
                 run_validation(
                     gan_eval_fn, (g_state, d_state), step, jax.random.PRNGKey(123)
                 )
+            if gan_probe_fn is not None and step % args.probe_every == 0 and gan_probe(step):
+                run.logger.info("early stop at step %d (probe patience)", step)
+                break
             if step % ckpt_every == 0:
                 ckpt.save(step, jax.device_get({"g": g_state, "d": d_state}))
             if args.steps and step >= args.steps:
@@ -320,6 +442,15 @@ def main(argv=None) -> None:
 
     ckpt.wait()
     ckpt.close()
+    if best_ckpt is not None:
+        best_ckpt.wait()
+        best_ckpt.close()
+        if probe_state["best_step"] >= 0:
+            run.logger.info(
+                "best probe checkpoint: step %d (gap-SDR %.2f dB) under %s",
+                probe_state["best_step"], probe_state["best"],
+                run.checkpoint_dir / "best",
+            )
     run.logger.info("training done at step %d", step)
     run.close()
 
