@@ -219,8 +219,12 @@ def main(argv=None) -> None:
             run.checkpoint_dir / "best", save_interval_steps=1, max_to_keep=1
         )
         k = probe_clips.shape[0]
-        probe_gs = jnp.full((k,), int(2.0 * cfg.data.sample_rate), jnp.int32)
-        probe_gl = jnp.full((k,), int(0.08 * cfg.data.sample_rate), jnp.int32)
+        gl = int(0.08 * cfg.data.sample_rate)
+        gs = int(2.0 * cfg.data.sample_rate)
+        if gs + gl >= probe_clips.shape[-1]:  # clip shorter than the eval spec
+            gs = max(0, (probe_clips.shape[-1] - gl) // 2)
+        probe_gs = jnp.full((k,), gs, jnp.int32)
+        probe_gl = jnp.full((k,), gl, jnp.int32)
         probe_gapm = 1.0 - jax.vmap(
             lambda s, l: gap_mask(probe_clips.shape[-1], s, l)
         )(probe_gs, probe_gl)

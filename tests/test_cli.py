@@ -94,6 +94,26 @@ class TestTrainCLI:
         logs = list((tmp_path / "logs").glob("*.log"))
         assert logs and "step 3" in logs[0].read_text()
 
+    def test_cnn_probe_best_checkpoint(self, tmp_path):
+        """--probe-every scores a held-out gap-SDR probe and keeps the best
+        checkpoint under checkpoints/<run>/best."""
+        from ml_audio_inpainting_tpu.cli.train import main
+
+        cfg_path = small_cfg_yaml(tmp_path, "cnn_blstm")
+        main(
+            [
+                "--model", "cnn_blstm", "--config", str(cfg_path),
+                "--synthetic", "4", "--steps", "4",
+                "--probe-every", "2", "--probe-clips", "1", "--probe-patience", "5",
+                "--base-dir", str(tmp_path), "--run-name", "p",
+            ]
+        )
+        logs = list((tmp_path / "logs").glob("*.log"))
+        text = logs[0].read_text()
+        assert "new best" in text and "best probe checkpoint" in text
+        best = list((tmp_path / "checkpoints").rglob("best"))
+        assert best and any(best[0].iterdir()), "best checkpoint not written"
+
     def test_gan_synthetic_short_run(self, tmp_path):
         from ml_audio_inpainting_tpu.cli.train import main
 
