@@ -299,14 +299,18 @@ def main(argv=None) -> None:
             return run_probe(step, probe_fn, variables, state)
 
         step = int(state.step)
-        t0 = time.perf_counter()
+        last = [step, time.perf_counter()]
         for audio in feed:
             key, sub = jax.random.split(key)
             state, metrics = step_fn(state, audio, sub)
             step += 1
             if step % cfg.logging.metric_interval == 0:
                 loss = float(metrics["loss"])
-                rate = step / (time.perf_counter() - t0)
+                now = time.perf_counter()
+                # Rolling rate over the last interval (total-elapsed rate
+                # folds the minutes-long first compile in and understates).
+                rate = (step - last[0]) / max(now - last[1], 1e-9)
+                last[:] = [step, now]
                 run.scalar("Loss_Train/L1_gap", loss, step)
                 run.logger.info("step %d loss %.4f (%.2f steps/s)", step, loss, rate)
             if args.valid_every and step % args.valid_every == 0:
@@ -405,13 +409,15 @@ def main(argv=None) -> None:
             )
 
         step = int(g_state.step)
-        t0 = time.perf_counter()
+        last = [step, time.perf_counter()]
         for audio in feed:
             key, sub = jax.random.split(key)
             g_state, d_state, metrics = step_fn(g_state, d_state, audio, sub)
             step += 1
             if step % cfg.logging.log_interval == 0:
-                rate = step / (time.perf_counter() - t0)
+                now = time.perf_counter()
+                rate = (step - last[0]) / max(now - last[1], 1e-9)
+                last[:] = [step, now]
                 for tag, k in [
                     ("Loss_Train/Generator_Total", "g_total"),
                     ("Loss_Train/Discriminator", "d_total"),
