@@ -38,6 +38,13 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--maxit", type=int, default=10)
     p.add_argument("--ar-method", choices=["lpc", "arburg"], default="lpc")
     p.add_argument("--mode", choices=["parity", "enhanced"], default="parity")
+    p.add_argument("--phase", choices=["oracle", "impaired", "extrapolate", "griffinlim"],
+                   default="oracle",
+                   help="phase regime for neural reconstruction (see "
+                        "runtime/inference.py docstring); oracle reproduces "
+                        "the historical numbers, impaired/griffinlim are the "
+                        "deployable regimes with no phase oracle in the gap")
+    p.add_argument("--gl-iters", type=int, default=64)
     p.add_argument("--batch-size", type=int, default=16)
     p.add_argument(
         "--n-gaps", type=int, default=1,
@@ -274,9 +281,15 @@ def main(argv=None) -> None:
             )
 
             if model_name == "gan":
-                mask_fn = make_gan_inpaint_mask_fn(cfg, runner.model, mode=args.mode)
+                mask_fn = make_gan_inpaint_mask_fn(
+                    cfg, runner.model, mode=args.mode,
+                    phase=getattr(args, 'phase', 'oracle'),
+                    gl_iters=getattr(args, 'gl_iters', 64))
             else:
-                mask_fn = make_cnn_inpaint_mask_fn(cfg, runner.model)
+                mask_fn = make_cnn_inpaint_mask_fn(
+                    cfg, runner.model,
+                    phase=getattr(args, 'phase', 'oracle'),
+                    gl_iters=getattr(args, 'gl_iters', 64))
             restored = np.asarray(
                 mask_fn(runner.variables, jnp.asarray(clean), masks)[0]
             )
@@ -325,6 +338,7 @@ def main(argv=None) -> None:
         condition = {
             "gap_start_s": args.gap_start,
             "gap_len_s": args.gap_len,
+            "phase": getattr(args, "phase", "oracle"),
             "files": [f.name for f in files],
         }
         if args.n_gaps > 1:

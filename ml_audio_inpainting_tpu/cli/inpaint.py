@@ -38,6 +38,16 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--gap-start", type=float, default=2.0, help="gap start (s); model_eval.py:70")
     p.add_argument("--gap-len", type=float, default=0.08, help="gap length (s); model_eval.py:64")
     p.add_argument("--mode", choices=["parity", "enhanced"], default="parity")
+    p.add_argument("--phase", choices=["oracle", "impaired", "extrapolate", "griffinlim"],
+                   default="oracle",
+                   help="phase regime for neural reconstruction: the "
+                        "reference's original-phase protocol (oracle, "
+                        "utils.py:316-333), the gapped signal's phase "
+                        "(deployable), or Griffin-Lim refinement warm-started "
+                        "from it (deployable, model_eval.py:130-143)")
+    p.add_argument("--gl-iters", type=int, default=64,
+                   help="Griffin-Lim iterations for --phase griffinlim "
+                        "(reference default 64, utils.py:330-333)")
     p.add_argument("--ar-order", type=int, default=512)
     p.add_argument("--maxit", type=int, default=10)
     p.add_argument("--ar-method", choices=["lpc", "arburg"], default="lpc")
@@ -169,7 +179,9 @@ def _build_runner(args, cfg, n_samples: int):
                 variables = {"params": g_state.params}
                 if g_state.batch_stats is not None:
                     variables["batch_stats"] = g_state.batch_stats
-            fn = make_gan_inpaint_fn(cfg, model, mode=args.mode)
+            fn = make_gan_inpaint_fn(cfg, model, mode=args.mode,
+                                     phase=getattr(args, 'phase', 'oracle'),
+                                     gl_iters=getattr(args, 'gl_iters', 64))
         else:
             from ml_audio_inpainting_tpu.train.cnn_trainer import (
                 build_model,
@@ -202,7 +214,9 @@ def _build_runner(args, cfg, n_samples: int):
                 variables = {"params": state.params}
                 if state.batch_stats is not None:
                     variables["batch_stats"] = state.batch_stats
-            fn = make_cnn_inpaint_fn(cfg, model)
+            fn = make_cnn_inpaint_fn(cfg, model,
+                                     phase=getattr(args, 'phase', 'oracle'),
+                                     gl_iters=getattr(args, 'gl_iters', 64))
 
         def runner(audio, gs, gl):
             restored, _ = fn(variables, audio, gs, gl)

@@ -49,6 +49,7 @@ def griffinlim(
     momentum: float = 0.99,
     init: str = "random",
     key: Optional[jax.Array] = None,
+    init_phase: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
     """Reconstruct audio from a magnitude spectrogram ``(..., F, N)``.
 
@@ -63,7 +64,13 @@ def griffinlim(
     real_dtype = mag.dtype
     cplx = jnp.complex64 if real_dtype != jnp.float64 else jnp.complex128
 
-    if init == "random":
+    if init == "given":
+        # Warm-start from a caller-supplied phase array (radians) -- e.g. the
+        # impaired signal's phase when refining an inpainted gap region.
+        if init_phase is None:
+            raise ValueError("init='given' requires init_phase")
+        angles = jnp.exp(1j * init_phase.astype(cplx))
+    elif init == "random":
         if key is None:
             key = jax.random.PRNGKey(0)
         phase = jax.random.uniform(key, mag.shape, dtype=real_dtype, maxval=2 * jnp.pi)
@@ -71,7 +78,7 @@ def griffinlim(
     elif init in ("ones", "zeros"):
         angles = jnp.ones(mag.shape, dtype=cplx)
     else:
-        raise ValueError(f"init must be 'random' or 'ones', got {init!r}")
+        raise ValueError(f"init must be 'random', 'ones', or 'given', got {init!r}")
 
     eps = jnp.finfo(real_dtype).tiny
     mag_c = mag.astype(cplx)

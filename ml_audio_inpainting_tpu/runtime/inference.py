@@ -17,6 +17,23 @@ Two fidelity modes for the GAN:
   into the gap only, keeping the untouched input elsewhere (the compositing
   rule of SURVEY.md §2.7).  Strictly better output; off by default for
   benchmark parity.
+
+Phase regimes (``phase=``), orthogonal to the modes above:
+
+* ``oracle``     -- the original signal's phase everywhere, INCLUDING inside
+  the gap.  This is the reference's own protocol when phase is available
+  (``utils.py:316-333``, "reconstruction uses original phase") and the
+  historical default, but in a real deployment the gap's phase is lost with
+  its samples: numbers under this regime carry a phase oracle.
+* ``impaired``   -- the gapped signal's phase (deployable: gap frames carry
+  the near-zero-signal phase); output is time-composited so samples outside
+  the gap stay untouched (SURVEY.md §2.7 compositing rule).
+* ``extrapolate`` -- phase-vocoder extrapolation of the gap phase from the
+  per-bin instantaneous frequency measured at the gap boundaries
+  (``ops/phase.py``), bidirectional with a cos^2 crossfade; deployable.
+* ``griffinlim`` -- momentum Griffin-Lim refinement (``ops/griffinlim``,
+  the reference's phase-free path, ``model_eval.py:130-143``) warm-started
+  from the extrapolated estimate, then time-composited.
 """
 
 from __future__ import annotations
@@ -28,6 +45,8 @@ import jax.numpy as jnp
 
 from ml_audio_inpainting_tpu.ops import gaps as gap_ops
 from ml_audio_inpainting_tpu.ops import masking
+from ml_audio_inpainting_tpu.ops.griffinlim import griffinlim
+from ml_audio_inpainting_tpu.ops.phase import extrapolate_phase
 from ml_audio_inpainting_tpu.ops.stft import istft, stft
 from ml_audio_inpainting_tpu.utils.config import Config
 
@@ -38,9 +57,44 @@ __all__ = [
     "make_cnn_inpaint_mask_fn",
 ]
 
+PHASE_MODES = ("oracle", "impaired", "extrapolate", "griffinlim")
+
+
+def _check_phase(phase: str) -> None:
+    if phase not in PHASE_MODES:
+        raise ValueError(f"phase must be one of {PHASE_MODES}, got {phase!r}")
+
+
+def _reconstruct(out_mag, phase_clean, phase_impaired, frame_valid, audio,
+                 sample_valid, phase, gl_iters, spec_kw, n_samples):
+    """Magnitude -> waveform under the chosen phase regime.
+
+    ``frame_valid``: ``(B, N)`` 1=trustworthy frame (drives the
+    phase-vocoder extrapolation).  ``sample_valid`` is the 1=valid
+    time-domain mask used for the final time-domain composite in the
+    deployable regimes (prediction inside the gap, untouched input
+    outside -- SURVEY.md §2.7)."""
+    if phase == "oracle":
+        return istft(out_mag * jnp.exp(1j * phase_clean), length=n_samples, **spec_kw)
+    if phase == "impaired":
+        rec = istft(out_mag * jnp.exp(1j * phase_impaired), length=n_samples, **spec_kw)
+    else:
+        ext = extrapolate_phase(
+            phase_impaired, frame_valid, spec_kw["hop_length"], spec_kw["n_fft"]
+        )
+        if phase == "extrapolate":
+            rec = istft(out_mag * jnp.exp(1j * ext), length=n_samples, **spec_kw)
+        else:  # griffinlim, warm-started from the extrapolated estimate
+            rec = griffinlim(
+                out_mag, n_iter=gl_iters, init="given", init_phase=ext,
+                length=n_samples, **spec_kw,
+            )
+    return audio * sample_valid + rec * (1.0 - sample_valid)
+
 
 def make_gan_inpaint_fn(
-    cfg: Config, generator, mode: str = "parity", compute_dtype=None
+    cfg: Config, generator, mode: str = "parity", compute_dtype=None,
+    phase: str = "oracle", gl_iters: int = 64,
 ) -> Callable:
     """Build the jitted GAN inpainting function.
 
@@ -51,10 +105,14 @@ def make_gan_inpaint_fn(
     ``compute_dtype``: optionally run the generator in reduced precision
     (``jnp.bfloat16``) -- DSP stays f32, only the conv stack casts.  Halves
     HBM for activations and roughly doubles MXU throughput.
+
+    ``phase``: the phase regime (module docstring); ``gl_iters`` applies to
+    ``phase="griffinlim"`` (reference default 64, ``utils.py:330-333``).
     """
     spec_cfg = cfg.data.spectrogram
     if mode not in ("parity", "enhanced"):
         raise ValueError(f"mode must be 'parity' or 'enhanced', got {mode!r}")
+    _check_phase(phase)
 
     @jax.jit
     def fn(variables, audio: jnp.ndarray, gap_start: jnp.ndarray, gap_len: jnp.ndarray):
@@ -76,7 +134,7 @@ def make_gan_inpaint_fn(
             hop_length=spec_cfg.hop_length,
             win_length=spec_cfg.win_length,
         )
-        phase = jnp.angle(spec_clean)
+        phase_clean = jnp.angle(spec_clean)
         log_impaired = masking.log1p_norm(jnp.abs(spec_gap))
 
         F, N = spec_clean.shape[-2:]
@@ -108,19 +166,24 @@ def make_gan_inpaint_fn(
             composited = masking.composite(generated, masking.log1p_norm(jnp.abs(spec_clean)), fmask)
             out_mag = masking.log1p_denorm(composited)
 
-        restored = istft(
-            out_mag * jnp.exp(1j * phase),
+        spec_kw = dict(
             n_fft=spec_cfg.n_fft,
             hop_length=spec_cfg.hop_length,
             win_length=spec_cfg.win_length,
-            length=n_samples,
+        )
+        restored = _reconstruct(
+            out_mag, phase_clean, jnp.angle(spec_gap), fmask[:, 0, :],
+            audio, tmask, phase, gl_iters, spec_kw, n_samples,
         )
         return restored, generated
 
     return fn
 
 
-def make_gan_inpaint_mask_fn(cfg: Config, generator, mode: str = "enhanced") -> Callable:
+def make_gan_inpaint_mask_fn(
+    cfg: Config, generator, mode: str = "enhanced",
+    phase: str = "oracle", gl_iters: int = 64,
+) -> Callable:
     """Mask-driven GAN inference: ``fn(variables, audio, sample_mask) ->
     (restored, spec)`` with an ARBITRARY 1=valid time-domain mask -- all
     gaps (IRMAS multi-gap condition) reconstructed in ONE forward pass,
@@ -129,6 +192,8 @@ def make_gan_inpaint_mask_fn(cfg: Config, generator, mode: str = "enhanced") -> 
     spec_cfg = cfg.data.spectrogram
     if mode not in ("parity", "enhanced"):
         raise ValueError(f"mode must be 'parity' or 'enhanced', got {mode!r}")
+    _check_phase(phase)
+    phase_mode = phase
 
     @jax.jit
     def fn(variables, audio: jnp.ndarray, sample_mask: jnp.ndarray):
@@ -141,7 +206,7 @@ def make_gan_inpaint_mask_fn(cfg: Config, generator, mode: str = "enhanced") -> 
         )
         spec_clean = stft(audio, **kw)
         spec_gap = stft(impaired, **kw)
-        phase = jnp.angle(spec_clean)
+        phase_clean = jnp.angle(spec_clean)
         log_impaired = masking.log1p_norm(jnp.abs(spec_gap))
         F, N = spec_clean.shape[-2:]
         fmask = gap_ops.frame_mask_from_sample_mask(
@@ -155,16 +220,23 @@ def make_gan_inpaint_mask_fn(cfg: Config, generator, mode: str = "enhanced") -> 
                 generated, masking.log1p_norm(jnp.abs(spec_clean)), fmask
             )
             out_mag = masking.log1p_denorm(composited)
-        restored = istft(out_mag * jnp.exp(1j * phase), length=n_samples, **kw)
+        restored = _reconstruct(
+            out_mag, phase_clean, jnp.angle(spec_gap), fmask[:, 0, :],
+            audio, sample_mask, phase_mode, gl_iters, kw, n_samples,
+        )
         return restored, generated
 
     return fn
 
 
-def make_cnn_inpaint_mask_fn(cfg: Config, model) -> Callable:
+def make_cnn_inpaint_mask_fn(
+    cfg: Config, model, phase: str = "oracle", gl_iters: int = 64
+) -> Callable:
     """Mask-driven CNNBLSTM inference (multi-gap in one pass); frame rule
     is the exact floor/floor generalization (``rule="end"``)."""
     spec_cfg = cfg.data.spectrogram
+    _check_phase(phase)
+    phase_mode = phase
 
     @jax.jit
     def fn(variables, audio: jnp.ndarray, sample_mask: jnp.ndarray):
@@ -175,7 +247,7 @@ def make_cnn_inpaint_mask_fn(cfg: Config, model) -> Callable:
             win_length=spec_cfg.win_length,
         )
         spec_clean = stft(audio, **kw)
-        phase = jnp.angle(spec_clean)
+        phase_clean = jnp.angle(spec_clean)
         F, N = spec_clean.shape[-2:]
         valid = gap_ops.frame_mask_from_sample_mask(
             sample_mask, F, N, spec_cfg.hop_length, rule="end"
@@ -187,13 +259,22 @@ def make_cnn_inpaint_mask_fn(cfg: Config, model) -> Callable:
         pred = model.apply(variables, log_impaired, train=False)
         composited = pred * gmask + log_impaired * (1.0 - gmask)
         out_mag = masking.log10_denorm(composited)
-        restored = istft(out_mag * jnp.exp(1j * phase), length=n_samples, **kw)
+        # The CNN pipeline zeroes gap FRAMES of the clean STFT rather than
+        # STFT-ing a gapped waveform, so the deployable impaired phase is
+        # the clean phase outside gap frames, zero inside.
+        restored = _reconstruct(
+            out_mag, phase_clean, phase_clean * (1.0 - gmask),
+            1.0 - gmask[:, 0, :], audio, sample_mask, phase_mode, gl_iters,
+            kw, n_samples,
+        )
         return restored, composited
 
     return fn
 
 
-def make_cnn_inpaint_fn(cfg: Config, model) -> Callable:
+def make_cnn_inpaint_fn(
+    cfg: Config, model, phase: str = "oracle", gl_iters: int = 64
+) -> Callable:
     """Build the jitted CNNBLSTM inpainting function
     (``model_eval.py:144-192``).
 
@@ -202,6 +283,8 @@ def make_cnn_inpaint_fn(cfg: Config, model) -> Callable:
     elsewhere)`` reconstructed with the input phase.
     """
     spec_cfg = cfg.data.spectrogram
+    _check_phase(phase)
+    phase_mode = phase
 
     @jax.jit
     def fn(variables, audio: jnp.ndarray, gap_start: jnp.ndarray, gap_len: jnp.ndarray):
@@ -212,7 +295,7 @@ def make_cnn_inpaint_fn(cfg: Config, model) -> Callable:
             hop_length=spec_cfg.hop_length,
             win_length=spec_cfg.win_length,
         )
-        phase = jnp.angle(spec_clean)
+        phase_clean = jnp.angle(spec_clean)
         F, N = spec_clean.shape[-2:]
 
         # CNNBLSTM frame rule: floor at both ends, 1 = gap (model_eval.py:146-150)
@@ -228,12 +311,18 @@ def make_cnn_inpaint_fn(cfg: Config, model) -> Callable:
         composited = pred * gmask + log_impaired * (1.0 - gmask)
         out_mag = masking.log10_denorm(composited)
 
-        restored = istft(
-            out_mag * jnp.exp(1j * phase),
+        tmask = jax.vmap(
+            lambda s, l: gap_ops.gap_mask(n_samples, s, l, dtype=audio.dtype)
+        )(gap_start, gap_len)
+        kw = dict(
             n_fft=spec_cfg.n_fft,
             hop_length=spec_cfg.hop_length,
             win_length=spec_cfg.win_length,
-            length=n_samples,
+        )
+        restored = _reconstruct(
+            out_mag, phase_clean, phase_clean * (1.0 - gmask),
+            1.0 - gmask[:, 0, :], audio, tmask, phase_mode, gl_iters,
+            kw, n_samples,
         )
         return restored, composited
 

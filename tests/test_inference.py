@@ -72,6 +72,27 @@ class TestGANInference:
         np.testing.assert_allclose(r[:6000], a[:6000], atol=5e-3)
         np.testing.assert_allclose(r[12000:], a[12000:], atol=5e-3)
 
+    @pytest.mark.parametrize("phase", ["impaired", "griffinlim"])
+    def test_deployable_phase_regimes(self, speech_like, phase):
+        """No-phase-oracle regimes: finite output, and the time-domain
+        composite keeps every sample outside the gap EXACTLY untouched
+        (SURVEY.md §2.7 compositing rule)."""
+        cfg, gen, variables = self._setup()
+        fn = make_gan_inpaint_fn(cfg, gen, mode="enhanced", phase=phase, gl_iters=4)
+        audio = jnp.asarray(speech_like[:16000])[None, :]
+        restored, _ = fn(variables, audio, jnp.asarray([8000]), jnp.asarray([1280]))
+        r = np.asarray(restored[0])
+        a = np.asarray(audio[0])
+        assert np.all(np.isfinite(r))
+        np.testing.assert_array_equal(r[:8000], a[:8000])
+        np.testing.assert_array_equal(r[9280:], a[9280:])
+        assert not np.array_equal(r[8000:9280], a[8000:9280])
+
+    def test_phase_validation(self):
+        cfg, gen, _ = self._setup()
+        with pytest.raises(ValueError, match="phase"):
+            make_gan_inpaint_fn(cfg, gen, phase="bogus")
+
 
 class TestCNNInference:
     def test_shapes_and_outside_gap(self, speech_like):
@@ -86,6 +107,21 @@ class TestCNNInference:
         r = np.asarray(restored[0])
         a = np.asarray(audio[0])
         np.testing.assert_allclose(r[:6000], a[:6000], atol=5e-3)
+
+    @pytest.mark.parametrize("phase", ["impaired", "griffinlim"])
+    def test_deployable_phase_regimes(self, speech_like, phase):
+        cfg = tiny_cfg(gan=False)
+        model = build_model(cfg)
+        state = create_cnn_state(cfg, jax.random.PRNGKey(0))
+        variables = {"params": state.params, "batch_stats": state.batch_stats}
+        fn = make_cnn_inpaint_fn(cfg, model, phase=phase, gl_iters=4)
+        audio = jnp.asarray(speech_like[:16000])[None, :]
+        restored, _ = fn(variables, audio, jnp.asarray([8000]), jnp.asarray([1280]))
+        r = np.asarray(restored[0])
+        a = np.asarray(audio[0])
+        assert np.all(np.isfinite(r))
+        np.testing.assert_array_equal(r[:8000], a[:8000])
+        np.testing.assert_array_equal(r[9280:], a[9280:])
 
 
 class TestCheckpoints:
