@@ -94,9 +94,12 @@ def _spec_l2(a: np.ndarray, b: np.ndarray) -> float:
     from ml_audio_inpainting_tpu.ops import stft
 
     kw = dict(n_fft=512, hop_length=128, win_length=512)
-    A = np.log1p(np.abs(np.asarray(stft(jnp.asarray(a), **kw))))
-    B = np.log1p(np.abs(np.asarray(stft(jnp.asarray(b), **kw))))
-    return float(np.sqrt(np.mean((A - B) ** 2)))
+    # Batch the pair and reduce to a real scalar ON DEVICE: the axon TPU
+    # platform cannot materialize unbatched/complex STFT outputs
+    # (UNIMPLEMENTED transfer), and a scalar fetch is cheaper anyway.
+    pair = jnp.stack([jnp.asarray(a), jnp.asarray(b)])
+    mags = jnp.log1p(jnp.abs(stft(pair, **kw)))
+    return float(jnp.sqrt(jnp.mean((mags[0] - mags[1]) ** 2)))
 
 
 def run_golden(args, cfg, files, clean: np.ndarray) -> dict:
