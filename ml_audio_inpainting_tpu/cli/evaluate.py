@@ -286,13 +286,11 @@ def main(argv=None) -> None:
             if model_name == "gan":
                 mask_fn = make_gan_inpaint_mask_fn(
                     cfg, runner.model, mode=args.mode,
-                    phase=getattr(args, 'phase', 'oracle'),
-                    gl_iters=getattr(args, 'gl_iters', 64))
+                    phase=args.phase, gl_iters=args.gl_iters)
             else:
                 mask_fn = make_cnn_inpaint_mask_fn(
                     cfg, runner.model,
-                    phase=getattr(args, 'phase', 'oracle'),
-                    gl_iters=getattr(args, 'gl_iters', 64))
+                    phase=args.phase, gl_iters=args.gl_iters)
             restored = np.asarray(
                 mask_fn(runner.variables, jnp.asarray(clean), masks)[0]
             )
@@ -341,9 +339,12 @@ def main(argv=None) -> None:
         condition = {
             "gap_start_s": args.gap_start,
             "gap_len_s": args.gap_len,
-            "phase": getattr(args, "phase", "oracle"),
             "files": [f.name for f in files],
         }
+        if any(m in ("gan", "cnn_blstm") for m in args.models):
+            # --phase only affects the neural reconstruction paths; don't
+            # stamp classical-only artifacts with a regime they ignore.
+            condition["phase"] = args.phase
         if args.n_gaps > 1:
             condition.update(
                 {

@@ -180,8 +180,7 @@ def _build_runner(args, cfg, n_samples: int):
                 if g_state.batch_stats is not None:
                     variables["batch_stats"] = g_state.batch_stats
             fn = make_gan_inpaint_fn(cfg, model, mode=args.mode,
-                                     phase=getattr(args, 'phase', 'oracle'),
-                                     gl_iters=getattr(args, 'gl_iters', 64))
+                                     phase=args.phase, gl_iters=args.gl_iters)
         else:
             from ml_audio_inpainting_tpu.train.cnn_trainer import (
                 build_model,
@@ -215,8 +214,7 @@ def _build_runner(args, cfg, n_samples: int):
                 if state.batch_stats is not None:
                     variables["batch_stats"] = state.batch_stats
             fn = make_cnn_inpaint_fn(cfg, model,
-                                     phase=getattr(args, 'phase', 'oracle'),
-                                     gl_iters=getattr(args, 'gl_iters', 64))
+                                     phase=args.phase, gl_iters=args.gl_iters)
 
         def runner(audio, gs, gl):
             restored, _ = fn(variables, audio, gs, gl)

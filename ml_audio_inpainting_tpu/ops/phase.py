@@ -30,12 +30,37 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-__all__ = ["princarg", "extrapolate_phase"]
+__all__ = ["princarg", "extrapolate_phase", "window_clear_frame_mask"]
 
 
 def princarg(x: jnp.ndarray) -> jnp.ndarray:
     """Principal phase argument: wrap to (-pi, pi]."""
     return x - 2.0 * jnp.pi * jnp.round(x / (2.0 * jnp.pi))
+
+
+def window_clear_frame_mask(
+    sample_valid: jnp.ndarray, n_frames: int, hop_length: int, n_fft: int
+) -> jnp.ndarray:
+    """Frames whose analysis window touches NO invalid sample.
+
+    The hole/valid frame rules used for model inputs (``ops/gaps``) mark a
+    frame "valid" as soon as its CENTER lies outside the gap — but with
+    ``center=True`` the window spans ``t*hop ± n_fft//2``, so frames next
+    to a gap still derive (phase) information from the lost samples.  Any
+    phase fed to a no-oracle reconstruction must come from frames that
+    pass THIS stricter mask.
+
+    ``sample_valid``: ``(B, S)`` 1=valid sample.  Returns ``(B, N)``.
+    """
+    inv = (sample_valid < 0.5).astype(jnp.int32)
+    c = jnp.cumsum(inv, axis=-1)
+    c = jnp.pad(c, ((0, 0), (1, 0)))  # c[:, i] = # invalid samples < i
+    S = sample_valid.shape[-1]
+    centers = jnp.arange(n_frames) * hop_length
+    lo = jnp.clip(centers - n_fft // 2, 0, S)
+    hi = jnp.clip(centers + n_fft // 2, 0, S)
+    overlap = c[:, hi] - c[:, lo]
+    return (overlap == 0).astype(sample_valid.dtype)
 
 
 def extrapolate_phase(
@@ -80,17 +105,34 @@ def extrapolate_phase(
     omega = (2.0 * jnp.pi * hop_length / n_fft) * jnp.arange(F)
     omega = omega[None, :, None]
 
+    def frame_is_valid(i):
+        # (B, N) gather of the validity of frame index i (i may be out of
+        # range; clipped positions are masked by the callers' own checks)
+        return jnp.take_along_axis(
+            valid.astype(jnp.int32), i.clip(0, N - 1), axis=1
+        ).astype(bool)
+
     # Left boundary: measured advance between the two last valid frames.
-    lv2 = jnp.where(lv > 0, lv - 1, lv)  # fall back to zero advance deviation
+    # The pair (lv-1, lv) only measures a real instantaneous frequency if
+    # BOTH frames are valid; otherwise (gap at the clip edge, or valid runs
+    # of length 1 between close gaps) fall back to the nominal bin advance
+    # omega -- never measure across a gap frame's garbage phase.
+    lv2 = lv - 1
+    l_ok = ((lv2 >= 0) & frame_is_valid(lv2))[:, None, :]
     ph_l = take(phase, lv)
-    dphi_l = princarg(ph_l - take(phase, lv2) - omega) + omega
+    dphi_l = jnp.where(
+        l_ok, princarg(ph_l - take(phase, lv2) - omega) + omega, omega
+    )
     steps_l = (t[None, :] - lv).clip(0)[:, None, :]
     ph_ext_l = ph_l + steps_l * dphi_l
 
     # Right boundary: measured advance into the first two valid frames.
-    rv2 = jnp.where(rv < N - 1, rv + 1, rv)
+    rv2 = rv + 1
+    r_ok = ((rv2 <= N - 1) & frame_is_valid(rv2))[:, None, :]
     ph_r = take(phase, rv)
-    dphi_r = princarg(take(phase, rv2) - ph_r - omega) + omega
+    dphi_r = jnp.where(
+        r_ok, princarg(take(phase, rv2) - ph_r - omega) + omega, omega
+    )
     steps_r = (rv - t[None, :]).clip(0)[:, None, :]
     ph_ext_r = ph_r - steps_r * dphi_r
 

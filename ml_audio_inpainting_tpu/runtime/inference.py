@@ -46,7 +46,10 @@ import jax.numpy as jnp
 from ml_audio_inpainting_tpu.ops import gaps as gap_ops
 from ml_audio_inpainting_tpu.ops import masking
 from ml_audio_inpainting_tpu.ops.griffinlim import griffinlim
-from ml_audio_inpainting_tpu.ops.phase import extrapolate_phase
+from ml_audio_inpainting_tpu.ops.phase import (
+    extrapolate_phase,
+    window_clear_frame_mask,
+)
 from ml_audio_inpainting_tpu.ops.stft import istft, stft
 from ml_audio_inpainting_tpu.utils.config import Config
 
@@ -171,8 +174,14 @@ def make_gan_inpaint_fn(
             hop_length=spec_cfg.hop_length,
             win_length=spec_cfg.win_length,
         )
+        # Phase-trust mask for the no-oracle regimes: stricter than the
+        # model-input frame rule -- a frame's phase is only trustworthy if
+        # its whole analysis window avoids the gap (window_clear_frame_mask).
+        phase_trust = window_clear_frame_mask(
+            tmask, N, spec_cfg.hop_length, spec_cfg.n_fft
+        )
         restored = _reconstruct(
-            out_mag, phase_clean, jnp.angle(spec_gap), fmask[:, 0, :],
+            out_mag, phase_clean, jnp.angle(spec_gap), phase_trust,
             audio, tmask, phase, gl_iters, spec_kw, n_samples,
         )
         return restored, generated
@@ -220,8 +229,11 @@ def make_gan_inpaint_mask_fn(
                 generated, masking.log1p_norm(jnp.abs(spec_clean)), fmask
             )
             out_mag = masking.log1p_denorm(composited)
+        phase_trust = window_clear_frame_mask(
+            sample_mask, N, spec_cfg.hop_length, spec_cfg.n_fft
+        )
         restored = _reconstruct(
-            out_mag, phase_clean, jnp.angle(spec_gap), fmask[:, 0, :],
+            out_mag, phase_clean, jnp.angle(spec_gap), phase_trust,
             audio, sample_mask, phase_mode, gl_iters, kw, n_samples,
         )
         return restored, generated
@@ -259,13 +271,19 @@ def make_cnn_inpaint_mask_fn(
         pred = model.apply(variables, log_impaired, train=False)
         composited = pred * gmask + log_impaired * (1.0 - gmask)
         out_mag = masking.log10_denorm(composited)
-        # The CNN pipeline zeroes gap FRAMES of the clean STFT rather than
-        # STFT-ing a gapped waveform, so the deployable impaired phase is
-        # the clean phase outside gap frames, zero inside.
+        # The CNN pipeline zeroes gap FRAMES of the clean STFT for the
+        # MODEL INPUT (reference parity), but a no-oracle reconstruction
+        # must take its phase from the actually-gapped waveform -- clean
+        # phase near the gap is derived from the lost samples (frames whose
+        # window overlaps the gap).  XLA dead-code-eliminates this STFT in
+        # oracle mode.
+        phase_impaired = jnp.angle(stft(audio * sample_mask, **kw))
+        phase_trust = window_clear_frame_mask(
+            sample_mask, N, spec_cfg.hop_length, spec_cfg.n_fft
+        )
         restored = _reconstruct(
-            out_mag, phase_clean, phase_clean * (1.0 - gmask),
-            1.0 - gmask[:, 0, :], audio, sample_mask, phase_mode, gl_iters,
-            kw, n_samples,
+            out_mag, phase_clean, phase_impaired, phase_trust, audio,
+            sample_mask, phase_mode, gl_iters, kw, n_samples,
         )
         return restored, composited
 
@@ -319,10 +337,15 @@ def make_cnn_inpaint_fn(
             hop_length=spec_cfg.hop_length,
             win_length=spec_cfg.win_length,
         )
+        # No-oracle phase comes from the actually-gapped waveform (see
+        # make_cnn_inpaint_mask_fn); DCE'd in oracle mode.
+        phase_impaired = jnp.angle(stft(audio * tmask, **kw))
+        phase_trust = window_clear_frame_mask(
+            tmask, N, spec_cfg.hop_length, spec_cfg.n_fft
+        )
         restored = _reconstruct(
-            out_mag, phase_clean, phase_clean * (1.0 - gmask),
-            1.0 - gmask[:, 0, :], audio, tmask, phase_mode, gl_iters,
-            kw, n_samples,
+            out_mag, phase_clean, phase_impaired, phase_trust, audio,
+            tmask, phase_mode, gl_iters, kw, n_samples,
         )
         return restored, composited
 

@@ -5,7 +5,11 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
-from ml_audio_inpainting_tpu.ops.phase import extrapolate_phase, princarg
+from ml_audio_inpainting_tpu.ops.phase import (
+    extrapolate_phase,
+    princarg,
+    window_clear_frame_mask,
+)
 from ml_audio_inpainting_tpu.ops.stft import istft, stft
 
 SR = 16000
@@ -96,6 +100,44 @@ class TestExtrapolatePhase:
             istft(jnp.abs(spec) * jnp.exp(1j * ext), length=len(x), **KW)
         )[0]
         assert _gap_sdr(x, rec, slice(0, 1280)) > 3.0
+
+    def test_close_gaps_fall_back_to_nominal_advance(self):
+        """Two gaps separated by a single valid frame: the boundary-pair
+        measurement would cross a gap frame -- the fallback must keep the
+        output finite and the valid frames untouched."""
+        rng = np.random.default_rng(1)
+        ph = jnp.asarray(rng.uniform(-np.pi, np.pi, (1, 65, 24)).astype(np.float32))
+        fv = np.ones((1, 24), np.float32)
+        fv[0, 5:9] = 0.0
+        fv[0, 10:14] = 0.0  # frame 9 is a lone valid island
+        fv = jnp.asarray(fv)
+        out = np.asarray(extrapolate_phase(ph, fv, 128, 512))
+        assert np.all(np.isfinite(out))
+        np.testing.assert_array_equal(
+            out[0][:, np.asarray(fv[0]) > 0], np.asarray(ph)[0][:, np.asarray(fv[0]) > 0]
+        )
+
+
+class TestWindowClearFrameMask:
+    def test_stricter_than_center_rule(self):
+        """A frame whose center is outside the gap but whose window overlaps
+        it must be rejected (that phase derives from lost samples)."""
+        S, hop, n_fft = 16000, 128, 512
+        sv = np.ones((1, S), np.float32)
+        sv[0, 8000:9280] = 0.0
+        n_frames = 126
+        m = np.asarray(window_clear_frame_mask(jnp.asarray(sv), n_frames, hop, n_fft))
+        centers = np.arange(n_frames) * hop
+        # Frames with windows fully clear of [8000, 9280):
+        expect = (centers + n_fft // 2 <= 8000) | (centers - n_fft // 2 >= 9280)
+        np.testing.assert_array_equal(m[0] > 0.5, expect)
+        # strictly fewer trusted frames than the center-only rule
+        center_rule = (centers < 8000) | (centers >= 9280)
+        assert (m[0] > 0.5).sum() < center_rule.sum()
+
+    def test_all_valid(self):
+        m = window_clear_frame_mask(jnp.ones((2, 4000)), 30, 128, 512)
+        np.testing.assert_array_equal(np.asarray(m), 1.0)
 
     def test_jit_and_vmap_safe(self):
         ph = jnp.zeros((3, 65, 20))
