@@ -116,6 +116,11 @@ def make_gan_inpaint_fn(
     if mode not in ("parity", "enhanced"):
         raise ValueError(f"mode must be 'parity' or 'enhanced', got {mode!r}")
     _check_phase(phase)
+    if mode == "parity" and phase != "oracle":
+        # parity mode feeds the log1p-domain output straight to the iSTFT
+        # (the reference's quirk); Griffin-Lim/extrapolation over a
+        # log-domain "magnitude" is meaningless.
+        raise ValueError("non-oracle phase regimes require mode='enhanced'")
 
     @jax.jit
     def fn(variables, audio: jnp.ndarray, gap_start: jnp.ndarray, gap_len: jnp.ndarray):
@@ -202,6 +207,8 @@ def make_gan_inpaint_mask_fn(
     if mode not in ("parity", "enhanced"):
         raise ValueError(f"mode must be 'parity' or 'enhanced', got {mode!r}")
     _check_phase(phase)
+    if mode == "parity" and phase != "oracle":
+        raise ValueError("non-oracle phase regimes require mode='enhanced'")
     phase_mode = phase
 
     @jax.jit
