@@ -47,6 +47,11 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--train-n-gaps", type=int, default=None,
                    help="train with N spacing-constrained gaps per clip "
                         "(IRMAS-style) instead of the reference's single gap")
+    p.add_argument("--train-gap-len", type=float, default=None,
+                   help="override data.gap_len_s for the TRAINING corruption "
+                        "(single-gap length, or the multi-gap max length): "
+                        "the default 0.2 s recipe breaks down on 0.5 s eval "
+                        "gaps -- train with 0.5 here for long-gap robustness")
     p.add_argument("--probe-every", type=int, default=0,
                    help="score a held-out gap-SDR probe every N steps and "
                         "keep the best checkpoint under checkpoints/best "
@@ -55,6 +60,10 @@ def build_argparser() -> argparse.ArgumentParser:
                         "then regresses with continued training.")
     p.add_argument("--probe-clips", type=int, default=8,
                    help="number of held-out clips in the probe batch")
+    p.add_argument("--probe-gap-len", type=float, default=0.08,
+                   help="gap length (s) of the held-out probe condition "
+                        "(default: the 80 ms eval spec; raise for long-gap "
+                        "training variants so selection matches the target)")
     p.add_argument("--probe-patience", type=int, default=0,
                    help="stop after P consecutive probes without a new best "
                         "(0 = never stop early)")
@@ -115,6 +124,8 @@ def main(argv=None) -> None:
         cfg.training.batch_size = args.batch_size
     if args.train_n_gaps is not None:
         cfg.data.train_n_gaps = args.train_n_gaps
+    if args.train_gap_len is not None:
+        cfg.data.gap_len_s = args.train_gap_len
 
     run = RunContext(cfg, run_name=args.run_name, base_dir=args.base_dir)
     # Data-parallel width must divide the batch; use the largest divisor of
@@ -219,7 +230,7 @@ def main(argv=None) -> None:
             run.checkpoint_dir / "best", save_interval_steps=1, max_to_keep=1
         )
         k = probe_clips.shape[0]
-        gl = int(0.08 * cfg.data.sample_rate)
+        gl = int(args.probe_gap_len * cfg.data.sample_rate)
         gs = int(2.0 * cfg.data.sample_rate)
         if gs + gl >= probe_clips.shape[-1]:  # clip shorter than the eval spec
             gs = max(0, (probe_clips.shape[-1] - gl) // 2)
