@@ -114,6 +114,27 @@ class TestTrainCLI:
         best = list((tmp_path / "checkpoints").rglob("best"))
         assert best and any(best[0].iterdir()), "best checkpoint not written"
 
+    def test_train_gap_len_and_probe_gap_len(self, tmp_path):
+        """--train-gap-len overrides the training corruption length and
+        --probe-gap-len the held-out probe condition (long-gap recipe)."""
+        from ml_audio_inpainting_tpu.cli.train import main
+
+        cfg_path = small_cfg_yaml(tmp_path, "cnn_blstm")
+        main(
+            [
+                "--model", "cnn_blstm", "--config", str(cfg_path),
+                "--synthetic", "4", "--steps", "2",
+                "--train-n-gaps", "2", "--train-gap-len", "0.12",
+                "--probe-every", "2", "--probe-clips", "1",
+                "--probe-gap-len", "0.12",
+                "--base-dir", str(tmp_path), "--run-name", "lg",
+            ]
+        )
+        logs = list((tmp_path / "logs").glob("*.log"))
+        text = logs[0].read_text()
+        assert "gap_len_s: 0.12" in text  # config dump reflects the override
+        assert "probe @ step" in text
+
     def test_gan_synthetic_short_run(self, tmp_path):
         from ml_audio_inpainting_tpu.cli.train import main
 
