@@ -231,6 +231,15 @@ def main(argv=None) -> None:
         )
         k = probe_clips.shape[0]
         gl = int(args.probe_gap_len * cfg.data.sample_rate)
+        if gl > probe_clips.shape[-1] // 2:
+            # A probe gap at/above the clip length degenerates to scoring
+            # whole-clip synthesis; cap at half the clip and say so.
+            gl = probe_clips.shape[-1] // 2
+            run.logger.warning(
+                "probe gap %.3fs exceeds half the %.3fs clip; clamped to %.3fs",
+                args.probe_gap_len, probe_clips.shape[-1] / cfg.data.sample_rate,
+                gl / cfg.data.sample_rate,
+            )
         gs = int(2.0 * cfg.data.sample_rate)
         if gs + gl >= probe_clips.shape[-1]:  # clip shorter than the eval spec
             gs = max(0, (probe_clips.shape[-1] - gl) // 2)

@@ -39,7 +39,8 @@ def princarg(x: jnp.ndarray) -> jnp.ndarray:
 
 
 def window_clear_frame_mask(
-    sample_valid: jnp.ndarray, n_frames: int, hop_length: int, n_fft: int
+    sample_valid: jnp.ndarray, n_frames: int, hop_length: int, n_fft: int,
+    win_length: int | None = None,
 ) -> jnp.ndarray:
     """Frames whose analysis window touches NO invalid sample.
 
@@ -50,15 +51,18 @@ def window_clear_frame_mask(
     phase fed to a no-oracle reconstruction must come from frames that
     pass THIS stricter mask.
 
-    ``sample_valid``: ``(B, S)`` 1=valid sample.  Returns ``(B, N)``.
+    ``sample_valid``: ``(B, S)`` 1=valid sample.  ``win_length`` is the
+    actual window support (centrally zero-padded to ``n_fft``); defaults
+    to ``n_fft`` when omitted.  Returns ``(B, N)``.
     """
+    reach = (win_length if win_length is not None else n_fft) // 2
     inv = (sample_valid < 0.5).astype(jnp.int32)
     c = jnp.cumsum(inv, axis=-1)
     c = jnp.pad(c, ((0, 0), (1, 0)))  # c[:, i] = # invalid samples < i
     S = sample_valid.shape[-1]
     centers = jnp.arange(n_frames) * hop_length
-    lo = jnp.clip(centers - n_fft // 2, 0, S)
-    hi = jnp.clip(centers + n_fft // 2, 0, S)
+    lo = jnp.clip(centers - reach, 0, S)
+    hi = jnp.clip(centers + reach, 0, S)
     overlap = c[:, hi] - c[:, lo]
     return (overlap == 0).astype(sample_valid.dtype)
 

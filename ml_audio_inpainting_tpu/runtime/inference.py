@@ -171,7 +171,12 @@ def make_gan_inpaint_fn(
         if mode == "parity":
             out_mag = generated  # reference feeds log1p-domain output directly
         else:
-            composited = masking.composite(generated, masking.log1p_norm(jnp.abs(spec_clean)), fmask)
+            # Composite reference magnitude: clean in the oracle regime
+            # (the reference's protocol), the GAPPED signal's own STFT in
+            # the deployable regimes -- boundary frames of |spec_clean|
+            # encode the lost samples (their windows overlap the gap).
+            ref_spec = spec_clean if phase == "oracle" else spec_gap
+            composited = masking.composite(generated, masking.log1p_norm(jnp.abs(ref_spec)), fmask)
             out_mag = masking.log1p_denorm(composited)
 
         spec_kw = dict(
@@ -183,7 +188,8 @@ def make_gan_inpaint_fn(
         # model-input frame rule -- a frame's phase is only trustworthy if
         # its whole analysis window avoids the gap (window_clear_frame_mask).
         phase_trust = window_clear_frame_mask(
-            tmask, N, spec_cfg.hop_length, spec_cfg.n_fft
+            tmask, N, spec_cfg.hop_length, spec_cfg.n_fft,
+            win_length=spec_cfg.win_length,
         )
         restored = _reconstruct(
             out_mag, phase_clean, jnp.angle(spec_gap), phase_trust,
@@ -232,12 +238,14 @@ def make_gan_inpaint_mask_fn(
         if mode == "parity":
             out_mag = generated
         else:
+            ref_spec = spec_clean if phase_mode == "oracle" else spec_gap
             composited = masking.composite(
-                generated, masking.log1p_norm(jnp.abs(spec_clean)), fmask
+                generated, masking.log1p_norm(jnp.abs(ref_spec)), fmask
             )
             out_mag = masking.log1p_denorm(composited)
         phase_trust = window_clear_frame_mask(
-            sample_mask, N, spec_cfg.hop_length, spec_cfg.n_fft
+            sample_mask, N, spec_cfg.hop_length, spec_cfg.n_fft,
+            win_length=spec_cfg.win_length,
         )
         restored = _reconstruct(
             out_mag, phase_clean, jnp.angle(spec_gap), phase_trust,
@@ -272,21 +280,24 @@ def make_cnn_inpaint_mask_fn(
             sample_mask, F, N, spec_cfg.hop_length, rule="end"
         )
         gmask = 1.0 - valid  # CNNBLSTM convention: 1 = gap
+        # Oracle regime: the reference's protocol -- gap applied by
+        # frame-zeroing the CLEAN STFT (model_eval.py:146-150).  Deployable
+        # regimes: the whole pipeline (model input, composite, phase) runs
+        # off the actually-gapped waveform -- boundary frames of the clean
+        # STFT (magnitude AND phase) are derived from the lost samples.
+        # XLA dead-code-eliminates whichever branch is unused.
+        spec_gap = stft(audio * sample_mask, **kw)
+        base = spec_clean if phase_mode == "oracle" else spec_gap
         log_impaired = jnp.log10(
-            jnp.abs(spec_clean) * (1.0 - gmask) + masking.LOG10_EPS
+            jnp.abs(base) * (1.0 - gmask) + masking.LOG10_EPS
         )
         pred = model.apply(variables, log_impaired, train=False)
         composited = pred * gmask + log_impaired * (1.0 - gmask)
         out_mag = masking.log10_denorm(composited)
-        # The CNN pipeline zeroes gap FRAMES of the clean STFT for the
-        # MODEL INPUT (reference parity), but a no-oracle reconstruction
-        # must take its phase from the actually-gapped waveform -- clean
-        # phase near the gap is derived from the lost samples (frames whose
-        # window overlaps the gap).  XLA dead-code-eliminates this STFT in
-        # oracle mode.
-        phase_impaired = jnp.angle(stft(audio * sample_mask, **kw))
+        phase_impaired = jnp.angle(spec_gap)
         phase_trust = window_clear_frame_mask(
-            sample_mask, N, spec_cfg.hop_length, spec_cfg.n_fft
+            sample_mask, N, spec_cfg.hop_length, spec_cfg.n_fft,
+            win_length=spec_cfg.win_length,
         )
         restored = _reconstruct(
             out_mag, phase_clean, phase_impaired, phase_trust, audio,
@@ -330,12 +341,6 @@ def make_cnn_inpaint_fn(
             return jnp.broadcast_to(jnp.where(hole, 1.0, 0.0)[None, :], (F, N))
 
         gmask = jax.vmap(frame_gap_mask)(gap_start, gap_len)
-        log_impaired = jnp.log10(jnp.abs(spec_clean) * (1.0 - gmask) + masking.LOG10_EPS)
-
-        pred = model.apply(variables, log_impaired, train=False)
-        composited = pred * gmask + log_impaired * (1.0 - gmask)
-        out_mag = masking.log10_denorm(composited)
-
         tmask = jax.vmap(
             lambda s, l: gap_ops.gap_mask(n_samples, s, l, dtype=audio.dtype)
         )(gap_start, gap_len)
@@ -344,11 +349,19 @@ def make_cnn_inpaint_fn(
             hop_length=spec_cfg.hop_length,
             win_length=spec_cfg.win_length,
         )
-        # No-oracle phase comes from the actually-gapped waveform (see
-        # make_cnn_inpaint_mask_fn); DCE'd in oracle mode.
-        phase_impaired = jnp.angle(stft(audio * tmask, **kw))
+        # Oracle: reference protocol (frame-zeroed clean STFT); deployable:
+        # everything from the gapped waveform (see make_cnn_inpaint_mask_fn).
+        spec_gap = stft(audio * tmask, **kw)
+        base = spec_clean if phase_mode == "oracle" else spec_gap
+        log_impaired = jnp.log10(jnp.abs(base) * (1.0 - gmask) + masking.LOG10_EPS)
+
+        pred = model.apply(variables, log_impaired, train=False)
+        composited = pred * gmask + log_impaired * (1.0 - gmask)
+        out_mag = masking.log10_denorm(composited)
+        phase_impaired = jnp.angle(spec_gap)
         phase_trust = window_clear_frame_mask(
-            tmask, N, spec_cfg.hop_length, spec_cfg.n_fft
+            tmask, N, spec_cfg.hop_length, spec_cfg.n_fft,
+            win_length=spec_cfg.win_length,
         )
         restored = _reconstruct(
             out_mag, phase_clean, phase_impaired, phase_trust, audio,

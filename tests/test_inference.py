@@ -93,6 +93,19 @@ class TestGANInference:
         with pytest.raises(ValueError, match="phase"):
             make_gan_inpaint_fn(cfg, gen, phase="bogus")
 
+    def test_parity_rejects_non_oracle_phase(self):
+        """Griffin-Lim/extrapolation over parity's log1p-domain "magnitude"
+        is meaningless -- both GAN factories must fail fast."""
+        from ml_audio_inpainting_tpu.runtime.inference import (
+            make_gan_inpaint_mask_fn,
+        )
+
+        cfg, gen, _ = self._setup()
+        with pytest.raises(ValueError, match="enhanced"):
+            make_gan_inpaint_fn(cfg, gen, mode="parity", phase="griffinlim")
+        with pytest.raises(ValueError, match="enhanced"):
+            make_gan_inpaint_mask_fn(cfg, gen, mode="parity", phase="impaired")
+
 
 class TestCNNInference:
     def test_shapes_and_outside_gap(self, speech_like):
