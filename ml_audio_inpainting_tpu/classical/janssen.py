@@ -28,7 +28,12 @@ import functools
 import jax
 import jax.numpy as jnp
 
-from ml_audio_inpainting_tpu.ops.linalg import ar_coef_autocorr, arburg, lpc
+from ml_audio_inpainting_tpu.ops.linalg import (
+    ar_coef_autocorr,
+    arburg,
+    block_tridiag_cholesky_solve,
+    lpc,
+)
 
 __all__ = ["janssen"]
 
@@ -47,7 +52,8 @@ def _observed_product(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("p", "maxit", "method", "max_gap", "saveall", "ridge")
+    jax.jit,
+    static_argnames=("p", "maxit", "method", "max_gap", "saveall", "ridge", "solver"),
 )
 def janssen(
     signal: jnp.ndarray,
@@ -60,6 +66,7 @@ def janssen(
     max_gap: int = 2048,
     saveall: bool = False,
     ridge: float = 1e-6,
+    solver: str = "auto",
 ) -> jnp.ndarray:
     """Inpaint one contiguous gap in ``signal``.
 
@@ -78,6 +85,13 @@ def janssen(
         (``janssen_inp.m:108-111``); in float32 near-singular systems (pure
         tones, high ``p``) are common, so a tiny Tikhonov term keeps the
         factorization alive -- set 0.0 for strict reference semantics.
+      solver: ``"dense"`` (full ``(max_gap, max_gap)`` Cholesky),
+        ``"banded"`` (block-tridiagonal Cholesky exploiting the bandwidth
+        ``p`` -- O(max_gap p^2) instead of O(max_gap^3), required for long
+        gaps: at 500 ms the dense system is 8000x8000 while the true
+        bandwidth is only ``p``), or ``"auto"`` (dense up to 2048, banded
+        beyond).  Both compute the same factorization; banded needs
+        ``max_gap % p == 0``.
 
     Returns the restored signal (observed samples untouched).
     """
@@ -85,22 +99,34 @@ def janssen(
     dtype = signal.dtype
     solution0 = jnp.where(mask > 0, signal, 0.0)
 
+    if solver not in ("auto", "dense", "banded"):
+        raise ValueError(f"solver must be auto|dense|banded, got {solver!r}")
+    use_banded = solver == "banded" or (
+        solver == "auto" and max_gap > 2048 and max_gap % p == 0
+    )
+    if use_banded and max_gap % p != 0:
+        raise ValueError(f"banded solver needs max_gap % p == 0 ({max_gap} % {p})")
+
     i_idx = jnp.arange(max_gap)
-    dist = jnp.abs(i_idx[:, None] - i_idx[None, :])  # static (max_gap, max_gap)
     in_gap = i_idx < gap_len
+    if use_banded:
+        q = p
+        nb = max_gap // q
+        li = jnp.arange(q)[:, None]
+        lj = jnp.arange(q)[None, :]
+        blk = jnp.arange(nb)[:, None, None]
+        dist_D = jnp.abs(li - lj)  # (q, q), static
+        dist_E = q + li - lj  # (q, q): E[k] couples rows (k+1)q+li to cols kq+lj
+        in_D = ((blk * q + li) < gap_len) & ((blk * q + lj) < gap_len)
+        in_E = (((blk + 1) * q + li) < gap_len) & ((blk * q + lj) < gap_len)
+        eye_q = jnp.eye(q, dtype=dtype)
+    else:
+        dist = jnp.abs(i_idx[:, None] - i_idx[None, :])  # (max_gap, max_gap)
 
     def iteration(carry, _):
         solution, failed = carry
         coef = lpc(solution, p) if method == "lpc" else arburg(solution, p)
         b = ar_coef_autocorr(coef, p)
-
-        # Toeplitz missing-missing block, identity-padded beyond gap_len.
-        band = jnp.where(dist <= p, b[jnp.clip(dist, 0, p)], 0.0)
-        valid2d = in_gap[:, None] & in_gap[None, :]
-        eye = jnp.eye(max_gap, dtype=dtype)
-        A = jnp.where(valid2d, band, eye)
-        if ridge > 0:
-            A = A + (ridge * b[0]) * eye
 
         # RHS: -(AA(:, indobs) @ x_obs) at the missing rows.
         obs = jnp.where(mask > 0, solution, 0.0)
@@ -108,11 +134,31 @@ def janssen(
         rhs = jax.lax.dynamic_slice(jnp.pad(g, (0, max_gap)), (gap_start,), (max_gap,))
         rhs = jnp.where(in_gap, -rhs, 0.0)
 
-        # Cholesky solve with functional bail-out (janssen_inp.m:108-111).
-        L = jnp.linalg.cholesky(A)
-        ok = jnp.all(jnp.isfinite(L))
-        L_safe = jnp.where(ok, L, eye)
-        x_miss = jax.scipy.linalg.cho_solve((L_safe, True), rhs)
+        if use_banded:
+            # Block-tridiagonal form of the same Toeplitz system: the
+            # bandwidth is p, so with block size q = p only the diagonal
+            # and first sub-diagonal blocks are nonzero.
+            band_D = jnp.where(dist_D <= p, b[jnp.clip(dist_D, 0, p)], 0.0)
+            D = jnp.where(in_D, band_D[None], eye_q[None])
+            if ridge > 0:
+                D = D + (ridge * b[0]) * eye_q
+            band_E = jnp.where(dist_E <= p, b[jnp.clip(dist_E, 0, p)], 0.0)
+            E = jnp.where(in_E, band_E[None], 0.0)
+            x_miss, ok = block_tridiag_cholesky_solve(D, E, rhs)
+        else:
+            # Toeplitz missing-missing block, identity-padded beyond gap_len.
+            band = jnp.where(dist <= p, b[jnp.clip(dist, 0, p)], 0.0)
+            valid2d = in_gap[:, None] & in_gap[None, :]
+            eye = jnp.eye(max_gap, dtype=dtype)
+            A = jnp.where(valid2d, band, eye)
+            if ridge > 0:
+                A = A + (ridge * b[0]) * eye
+
+            # Cholesky solve with functional bail-out (janssen_inp.m:108-111).
+            L = jnp.linalg.cholesky(A)
+            ok = jnp.all(jnp.isfinite(L))
+            L_safe = jnp.where(ok, L, eye)
+            x_miss = jax.scipy.linalg.cho_solve((L_safe, True), rhs)
         x_miss = jnp.where(in_gap, x_miss, 0.0)
 
         new_failed = failed | ~ok
@@ -141,7 +187,7 @@ def janssen(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("p", "maxit", "method", "max_gap", "context", "ridge"),
+    static_argnames=("p", "maxit", "method", "max_gap", "context", "ridge", "solver"),
 )
 def janssen_gapwise(
     signal: jnp.ndarray,
@@ -154,6 +200,7 @@ def janssen_gapwise(
     max_gap: int = 2048,
     context: int = 4096,
     ridge: float = 1e-6,
+    solver: str = "auto",
 ) -> jnp.ndarray:
     """Gap-wise Janssen: solve on the ``gap +- context`` segment only.
 
@@ -180,6 +227,7 @@ def janssen_gapwise(
         method=method,
         max_gap=max_gap,
         ridge=ridge,
+        solver=solver,
     )
     out = jax.lax.dynamic_update_slice(xp, solved, (seg_start,))[pad : pad + n]
     return jnp.where(mask > 0, signal, out)

@@ -19,7 +19,14 @@ from typing import Tuple
 import jax
 import jax.numpy as jnp
 
-__all__ = ["autocorrelation", "levinson", "lpc", "arburg", "ar_coef_autocorr"]
+__all__ = [
+    "autocorrelation",
+    "levinson",
+    "lpc",
+    "arburg",
+    "ar_coef_autocorr",
+    "block_tridiag_cholesky_solve",
+]
 
 
 def autocorrelation(x: jnp.ndarray, maxlag: int) -> jnp.ndarray:
@@ -131,3 +138,75 @@ def ar_coef_autocorr(coef: jnp.ndarray, p: int) -> jnp.ndarray:
         return jnp.sum(coef * shifted)
 
     return jax.vmap(one)(jnp.arange(p + 1))
+
+
+def block_tridiag_cholesky_solve(
+    D: jnp.ndarray, E: jnp.ndarray, rhs: jnp.ndarray
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Solve ``A x = rhs`` for an SPD block-tridiagonal ``A``.
+
+    The long-gap Janssen system is banded -- an SPD Toeplitz matrix of
+    bandwidth ``p`` far smaller than the gap (512 vs 8000 at 500 ms)
+    (``janssen_inp.m:105-113``) -- so the dense ``(gap, gap)`` Cholesky of
+    the short-gap path wastes O(n^3) FLOPs and O(n^2) HBM.  Partitioned
+    into ``q >= p`` blocks the matrix is block-tridiagonal and its Cholesky
+    factor block-bidiagonal; the factorization is a ``lax.scan`` of
+    ``(q, q)`` Cholesky/triangular-solve/matmul steps -- MXU-shaped tiles,
+    O(n q^2) FLOPs, O(n q) memory.
+
+    Args:
+      D: ``(nb, q, q)`` diagonal blocks.
+      E: ``(nb, q, q)`` sub-diagonal blocks, ``E[k] = A[(k+1)q:(k+2)q,
+        kq:(k+1)q]``; ``E[nb-1]`` is ignored (no block below the last).
+      rhs: ``(nb * q,)``.
+
+    Returns ``(x, ok)``: the solution ``(nb * q,)`` and a scalar bool that
+    is False if any block factorization produced non-finite values (the
+    functional analogue of the reference's Cholesky-failure bail-out,
+    ``janssen_inp.m:108-111``).
+    """
+    nb, q, _ = D.shape
+    dtype = D.dtype
+    solve_tri = jax.scipy.linalg.solve_triangular
+
+    # E_prev[k] = L-block coupling block k to k-1 (zero for k=0).
+    E_prev = jnp.concatenate([jnp.zeros((1, q, q), dtype), E[:-1]], axis=0)
+
+    def fact_step(L_prev, inputs):
+        Dk, Ekm1 = inputs
+        # C = E_{k-1} @ inv(L_{k-1})^T via triangular solve; exact zero for
+        # the first block because E_prev[0] == 0.
+        C = solve_tri(L_prev, Ekm1.T, lower=True).T
+        L = jnp.linalg.cholesky(Dk - C @ C.T)
+        return L, (L, C)
+
+    L0 = jnp.eye(q, dtype=dtype)
+    _, (Ls, Cs) = jax.lax.scan(fact_step, L0, (D, E_prev))
+    ok = jnp.all(jnp.isfinite(Ls)) & jnp.all(jnp.isfinite(Cs))
+    # A failed (indefinite) block yields NaNs that propagate through the
+    # scan; replace with identity so the solves below stay finite and the
+    # caller can act on ``ok``.
+    Ls = jnp.where(ok, Ls, jnp.broadcast_to(jnp.eye(q, dtype=dtype), Ls.shape))
+    Cs = jnp.where(ok, Cs, jnp.zeros_like(Cs))
+
+    r = rhs.reshape(nb, q)
+
+    def fwd_step(y_prev, inputs):
+        L, C, rk = inputs
+        y = solve_tri(L, rk - C @ y_prev, lower=True)
+        return y, y
+
+    _, ys = jax.lax.scan(fwd_step, jnp.zeros((q,), dtype), (Ls, Cs, r))
+
+    # Backward: L^T x = y, using C_{k+1} = L_{k+1,k} (zero above the last).
+    C_next = jnp.concatenate([Cs[1:], jnp.zeros((1, q, q), dtype)], axis=0)
+
+    def bwd_step(x_next, inputs):
+        L, Cn, yk = inputs
+        x = solve_tri(L.T, yk - Cn.T @ x_next, lower=False)
+        return x, x
+
+    _, xs = jax.lax.scan(
+        bwd_step, jnp.zeros((q,), dtype), (Ls[::-1], C_next[::-1], ys[::-1])
+    )
+    return xs[::-1].reshape(nb * q), ok

@@ -55,14 +55,16 @@ def window_clear_frame_mask(
     actual window support (centrally zero-padded to ``n_fft``); defaults
     to ``n_fft`` when omitted.  Returns ``(B, N)``.
     """
-    reach = (win_length if win_length is not None else n_fft) // 2
+    wl = win_length if win_length is not None else n_fft
     inv = (sample_valid < 0.5).astype(jnp.int32)
     c = jnp.cumsum(inv, axis=-1)
     c = jnp.pad(c, ((0, 0), (1, 0)))  # c[:, i] = # invalid samples < i
     S = sample_valid.shape[-1]
     centers = jnp.arange(n_frames) * hop_length
-    lo = jnp.clip(centers - reach, 0, S)
-    hi = jnp.clip(centers + reach, 0, S)
+    # Window support is [center - wl//2, center + (wl - wl//2)): for odd
+    # wl the right half extends one sample further than the left.
+    lo = jnp.clip(centers - wl // 2, 0, S)
+    hi = jnp.clip(centers + (wl - wl // 2), 0, S)
     overlap = c[:, hi] - c[:, lo]
     return (overlap == 0).astype(sample_valid.dtype)
 

@@ -151,7 +151,13 @@ def _ear_constants(sample_rate: int):
 def _frame_power_spectra(x: jnp.ndarray, sample_rate: int) -> jnp.ndarray:
     """``(..., T)`` -> weighted band power ``(..., n_frames, n_bins)``."""
     T = x.shape[-1]
-    n_frames = max(1, (T - _FRAME) // _HOP + 1)
+    if T < _FRAME:
+        # JAX clamps out-of-range gathers silently, which would turn a
+        # sub-frame input into one garbage frame; fail loudly instead.
+        raise ValueError(
+            f"input too short for the PEAQ ear model: {T} < {_FRAME} samples"
+        )
+    n_frames = (T - _FRAME) // _HOP + 1
     idx = np.arange(n_frames)[:, None] * _HOP + np.arange(_FRAME)[None, :]
     frames = x[..., idx]  # (..., n_frames, FRAME)
     win = jnp.asarray(np.sqrt(8.0 / 3.0) * np.hanning(_FRAME).astype(np.float32))

@@ -1,0 +1,110 @@
+"""Headline-checkpoint gate (VERDICT r2 #2).
+
+The committed f16 npz checkpoints under ``results/checkpoints/`` back the
+repo's headline claims (GAN +4.42 dB / CNN +2.55 dB on the 9-clip eval set,
+longgap GAN +1.20 dB @ 500 ms).  These tests load them through the REAL
+inference path (``cli.evaluate --checkpoint``) on a 2-clip subset and pin
+the per-clip gap-SDR to the values recorded in
+``results/{gan,cnn_blstm}_formant_v2_generalization.json`` — so corpus
+drift, npz-format changes, or inference-path changes that would silently
+break the headline fail CI instead (the golden-gate pattern of
+``test_golden_parity.py``).
+
+Per-clip gap-SDR is independent of which other clips are in the batch, so
+the 2-clip subset reproduces the full-set artifact values exactly
+(verified on CPU and TPU).
+"""
+
+import json
+from pathlib import Path
+
+import pytest
+
+REPO = Path(__file__).resolve().parent.parent
+SAMPLES = Path("/root/reference/test_samples")
+CLIPS = ["1012-133424-0012.flac", "81-121543-0008.flac"]
+
+#: recorded per-clip gap-SDR (dB) for the 2-clip subset
+GAN_EXPECTED = [5.007, 3.196]  # results/gan_formant_v2_generalization.json
+CNN_EXPECTED = [6.044, 1.294]  # results/cnn_blstm_formant_v2_generalization.json
+#: longgap checkpoint @ 500 ms (recorded 2026-08-17, CPU == TPU; the
+#: 9-clip mean is the sweep table's +1.20)
+LONGGAP_EXPECTED = [0.905, 1.447]
+TOL = 0.05
+
+
+pytestmark = pytest.mark.skipif(
+    not SAMPLES.exists(), reason="reference eval clips unavailable"
+)
+
+
+@pytest.fixture(scope="module")
+def clip_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("gate_clips")
+    import shutil
+
+    for c in CLIPS:
+        shutil.copy(SAMPLES / c, d / c)
+    return d
+
+
+def _run_evaluate(tmp_path, clip_dir, argv_extra):
+    from ml_audio_inpainting_tpu.cli.evaluate import main
+
+    out = tmp_path / "out.json"
+    main(
+        [
+            "--input", str(clip_dir),
+            "--output-json", str(out),
+            *argv_extra,
+        ]
+    )
+    return json.loads(out.read_text())
+
+
+def test_gan_headline_checkpoint(tmp_path, clip_dir):
+    data = _run_evaluate(
+        tmp_path, clip_dir,
+        [
+            "--models", "gan",
+            "--config", str(REPO / "configs/gan.yaml"),
+            "--checkpoint",
+            str(REPO / "results/checkpoints/gan_formant_v2_r2.npz"),
+            "--mode", "enhanced",
+        ],
+    )
+    got = data["results"]["gan"]["gap_sdr_db"]
+    for g, e in zip(got, GAN_EXPECTED):
+        assert abs(g - e) < TOL, (got, GAN_EXPECTED)
+    assert min(data["results"]["gan"]["psm"]) > 0.99
+
+
+def test_cnn_headline_checkpoint(tmp_path, clip_dir):
+    data = _run_evaluate(
+        tmp_path, clip_dir,
+        [
+            "--models", "cnn_blstm",
+            "--checkpoint",
+            str(REPO / "results/checkpoints/cnn_blstm_formant_v2_r2.npz"),
+        ],
+    )
+    got = data["results"]["cnn_blstm"]["gap_sdr_db"]
+    for g, e in zip(got, CNN_EXPECTED):
+        assert abs(g - e) < TOL, (got, CNN_EXPECTED)
+
+
+def test_gan_longgap_checkpoint(tmp_path, clip_dir):
+    data = _run_evaluate(
+        tmp_path, clip_dir,
+        [
+            "--models", "gan",
+            "--config", str(REPO / "configs/gan.yaml"),
+            "--checkpoint",
+            str(REPO / "results/checkpoints/gan_formant_v2_longgap_r2.npz"),
+            "--mode", "enhanced",
+            "--gap-len", "0.5",
+        ],
+    )
+    got = data["results"]["gan"]["gap_sdr_db"]
+    for g, e in zip(got, LONGGAP_EXPECTED):
+        assert abs(g - e) < TOL, (got, LONGGAP_EXPECTED)

@@ -20,6 +20,7 @@ from ml_audio_inpainting_tpu.ops.linalg import (
     ar_coef_autocorr,
     arburg,
     autocorrelation,
+    block_tridiag_cholesky_solve,
     levinson,
     lpc,
 )
@@ -184,6 +185,80 @@ class TestJanssen:
             hist = janssen(gapped, mask, jnp.asarray(2000), jnp.asarray(160),
                            p=32, maxit=4, max_gap=256, saveall=True)
             assert hist.shape == (4, 4096)
+
+
+class TestBandedJanssen:
+    """Long-gap solver path (VERDICT r2 #3): block-tridiagonal Cholesky of
+    the bandwidth-p Toeplitz system instead of the dense (gap, gap) solve."""
+
+    def test_block_tridiag_solve_matches_dense(self):
+        rng = np.random.default_rng(0)
+        q, nb = 16, 4
+        n = q * nb
+        M = rng.standard_normal((n, n))
+        A = M @ M.T + n * np.eye(n)
+        A[np.abs(np.subtract.outer(np.arange(n), np.arange(n))) > q] = 0.0
+        A = A + n * np.eye(n)  # keep SPD after truncation
+        D = np.stack([A[k * q:(k + 1) * q, k * q:(k + 1) * q] for k in range(nb)])
+        E = np.stack(
+            [A[(k + 1) * q:(k + 2) * q, k * q:(k + 1) * q] for k in range(nb - 1)]
+            + [np.zeros((q, q))]
+        )
+        r = rng.standard_normal(n)
+        with jax.enable_x64():
+            x, ok = block_tridiag_cholesky_solve(
+                jnp.asarray(D), jnp.asarray(E), jnp.asarray(r)
+            )
+        assert bool(ok)
+        np.testing.assert_allclose(np.asarray(x), np.linalg.solve(A, r), atol=1e-8)
+
+    def test_block_tridiag_bailout_on_indefinite(self):
+        q, nb = 4, 2
+        D = np.stack([np.eye(q), -np.eye(q)])  # second block indefinite
+        E = np.zeros((nb, q, q))
+        x, ok = block_tridiag_cholesky_solve(
+            jnp.asarray(D, jnp.float32), jnp.asarray(E, jnp.float32),
+            jnp.ones((q * nb,), jnp.float32)
+        )
+        assert not bool(ok)
+        assert np.all(np.isfinite(np.asarray(x)))
+
+    def test_banded_matches_dense_janssen(self, speech_like):
+        start, length = 20000, 900
+        gapped, mask = make_gap(speech_like, start, length)
+        kw = dict(p=128, maxit=3, max_gap=1024)
+        dense = np.asarray(
+            janssen(gapped, mask, jnp.asarray(start), jnp.asarray(length),
+                    solver="dense", **kw)
+        )
+        banded = np.asarray(
+            janssen(gapped, mask, jnp.asarray(start), jnp.asarray(length),
+                    solver="banded", **kw)
+        )
+        # Same factorization, different f32 accumulation order.
+        scale = float(np.max(np.abs(dense[start:start + length]))) + 1e-9
+        assert np.max(np.abs(dense - banded)) / scale < 2e-2
+        # And both must actually solve the gap.
+        gapm = jnp.asarray((1.0 - np.asarray(mask))[None])
+        sdr = float(gap_sdr(jnp.asarray(speech_like)[None],
+                            jnp.asarray(banded)[None], gapm)[0])
+        assert sdr > 0.0, sdr  # beats zero-fill on a 56 ms gap
+
+    def test_auto_uses_banded_for_long_gaps(self, speech_like):
+        """A 4096-sample system with p=512 must factor block-tridiagonally
+        (the dense path at this size would still work -- this pins the
+        auto rule and exercises the banded path at production order)."""
+        start, length = 18000, 4000
+        gapped, mask = make_gap(speech_like, start, length)
+        out = np.asarray(
+            janssen(gapped, mask, jnp.asarray(start), jnp.asarray(length),
+                    p=512, maxit=2, max_gap=4096, solver="auto")
+        )
+        assert np.all(np.isfinite(out))
+        gapm = jnp.asarray((1.0 - np.asarray(mask))[None])
+        sdr = float(gap_sdr(jnp.asarray(speech_like)[None],
+                            jnp.asarray(out)[None], gapm)[0])
+        assert sdr > -5.0, sdr  # long-gap AR solve is hard; just no blowup
 
 
 class TestArInpaint:
