@@ -23,8 +23,13 @@ import numpy as np
 def build_argparser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(description="Evaluate inpainting models")
     p.add_argument("--models", nargs="+", required=True,
-                   help="any of: gan cnn_blstm janssen arinpaint segmentation "
-                        "aspain sspain sspain_omp")
+                   help="any of: gan cnn_blstm refiner janssen arinpaint "
+                        "segmentation aspain sspain sspain_omp")
+    p.add_argument("--gan-checkpoint", type=str,
+                   default="results/checkpoints/gan_formant_v2_r2.npz",
+                   help="GAN weights npz for the refiner model")
+    p.add_argument("--gan-config", type=str, default=None,
+                   help="GAN YAML for the refiner model (default: GAN profile)")
     p.add_argument("--config", type=str, default=None)
     p.add_argument("--checkpoint", type=str, default=None)
     p.add_argument("--input", type=str, default="/root/reference/test_samples",
@@ -283,13 +288,14 @@ def main(argv=None) -> None:
                 make_gan_inpaint_mask_fn,
             )
 
+            rcfg = getattr(runner, "cfg", cfg)
             if model_name == "gan":
                 mask_fn = make_gan_inpaint_mask_fn(
-                    cfg, runner.model, mode=args.mode,
+                    rcfg, runner.model, mode=args.mode,
                     phase=args.phase, gl_iters=args.gl_iters)
             else:
                 mask_fn = make_cnn_inpaint_mask_fn(
-                    cfg, runner.model,
+                    rcfg, runner.model,
                     phase=args.phase, gl_iters=args.gl_iters)
             restored = np.asarray(
                 mask_fn(runner.variables, jnp.asarray(clean), masks)[0]

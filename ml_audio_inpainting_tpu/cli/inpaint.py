@@ -30,7 +30,13 @@ CLASSICAL = (
 def build_argparser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(description="Inpaint gapped audio")
     p.add_argument("--model", required=True,
-                   choices=["gan", "cnn_blstm", *CLASSICAL])
+                   choices=["gan", "cnn_blstm", "refiner", *CLASSICAL])
+    p.add_argument("--gan-checkpoint", type=str,
+                   default="results/checkpoints/gan_formant_v2_r2.npz",
+                   help="GAN weights npz for --model refiner (the head rides "
+                        "on the frozen deployable GAN path)")
+    p.add_argument("--gan-config", type=str, default=None,
+                   help="GAN YAML for --model refiner (default: GAN profile)")
     p.add_argument("--config", type=str, default=None)
     p.add_argument("--checkpoint", type=str, default=None, help="orbax checkpoint dir")
     p.add_argument("--input", required=True, help="audio file or directory")
@@ -149,6 +155,44 @@ def _build_runner(args, cfg, n_samples: int):
     """Returns fn(audio (B,S), gap_start (B,), gap_len (B,)) -> (B,S)."""
     from ml_audio_inpainting_tpu.ops.gaps import gap_mask
 
+    if args.model == "refiner":
+        # Deployable hybrid: frozen GAN (extrapolated phase) + AR fill ->
+        # learned time-domain correction (models/refiner.py; VERDICT r2 #1).
+        from ml_audio_inpainting_tpu.train.checkpoints import load_params_npz
+        from ml_audio_inpainting_tpu.train.gan_trainer import build_generator
+        from ml_audio_inpainting_tpu.train.refiner_trainer import (
+            make_refiner_apply_fn,
+        )
+        from ml_audio_inpainting_tpu.utils.config import (
+            Config,
+            SpectrogramConfig,
+            load_config,
+        )
+
+        gan_config = getattr(args, "gan_config", None)
+        gcfg = load_config(gan_config) if gan_config else Config()
+        if gan_config is None:
+            gcfg.data.spectrogram = SpectrogramConfig(
+                n_fft=512, hop_length=128, win_length=512
+            )
+        gan = build_generator(gcfg)
+        gan_vars = load_params_npz(args.gan_checkpoint)
+        if not args.checkpoint:
+            raise SystemExit("--model refiner requires --checkpoint (head npz)")
+        from ml_audio_inpainting_tpu.train.refiner_trainer import (
+            refiner_channels,
+        )
+
+        rvars = load_params_npz(args.checkpoint)
+        fn = make_refiner_apply_fn(
+            gcfg, gan, gan_vars, channels=refiner_channels(rvars)
+        )
+
+        def runner(audio, gs, gl):
+            return fn(rvars, audio, gs, gl)
+
+        return runner
+
     if args.model in ("gan", "cnn_blstm"):
         from ml_audio_inpainting_tpu.runtime.inference import (
             make_cnn_inpaint_fn,
@@ -157,6 +201,20 @@ def _build_runner(args, cfg, n_samples: int):
         from ml_audio_inpainting_tpu.train.checkpoints import CheckpointManager
 
         if args.model == "gan":
+            # The GAN checkpoints use the GAN STFT profile; a default
+            # (CNN-profile) cfg silently mis-scores them (the round-3
+            # gate-test footgun) -- assert the profile when no YAML given.
+            if args.config is None:
+                import copy
+
+                from ml_audio_inpainting_tpu.utils.config import (
+                    SpectrogramConfig,
+                )
+
+                cfg = copy.deepcopy(cfg)
+                cfg.data.spectrogram = SpectrogramConfig(
+                    n_fft=512, hop_length=128, win_length=512
+                )
             from ml_audio_inpainting_tpu.train.gan_trainer import (
                 build_generator,
                 create_gan_states,
@@ -220,10 +278,13 @@ def _build_runner(args, cfg, n_samples: int):
             restored, _ = fn(variables, audio, gs, gl)
             return restored
 
-        # Expose the raw pieces for the long-form and multi-gap drivers.
+        # Expose the raw pieces for the long-form and multi-gap drivers
+        # (cfg carries the profile actually used -- it may differ from the
+        # caller's when the GAN default was asserted above).
         runner.inpaint_fn = fn
         runner.variables = variables
         runner.model = model
+        runner.cfg = cfg
         return runner
 
     # Classical solvers: vmap over the batch.

@@ -25,7 +25,8 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--config", type=str, default=None, help="YAML config path")
     p.add_argument("--data-root", type=str, default=None, help="override data.root_path")
     p.add_argument("--synthetic", type=int, default=0, help="use N synthetic clips instead of files")
-    p.add_argument("--corpus", choices=["formant", "formant_v2", "harmonic"],
+    p.add_argument("--corpus",
+                   choices=["formant", "formant_v2", "formant_v3", "harmonic"],
                    default="formant",
                    help="synthetic corpus style: formant-synthesized pseudo-speech "
                         "(default), its richer v2 variant (nasals, diphthongs, "
@@ -80,8 +81,9 @@ def _synthetic_cls(args):
 
     if args.corpus == "harmonic":
         return SyntheticSpeechDataset
-    if args.corpus == "formant_v2":
-        return functools.partial(FormantSpeechDataset, variant="v2")
+    if args.corpus in ("formant_v2", "formant_v3"):
+        variant = args.corpus.split("_")[1]
+        return functools.partial(FormantSpeechDataset, variant=variant)
     return FormantSpeechDataset
 
 

@@ -1,0 +1,139 @@
+"""Train the time-domain gap-refinement head (``models/refiner``).
+
+The head rides on FROZEN deployable solvers (AR extrapolation + the
+committed GAN under extrapolated phase) and is trained to maximize
+gap-SDR itself on the formant corpus -- zero real audio, the same honest
+regime as the committed checkpoints.  Probe-selected on held-out corpus
+clips under the eval contract (80 ms @ 2.0 s), exported as a compact npz::
+
+    python -m ml_audio_inpainting_tpu.cli.train_refiner \
+        --synthetic 2000 --corpus formant_v2 --steps 3000 \
+        --out results/checkpoints/refiner_formant_v2_r3.npz
+"""
+
+from __future__ import annotations
+
+import argparse
+import time
+from pathlib import Path
+
+
+def build_argparser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description="Train the gap-refinement head")
+    p.add_argument("--synthetic", type=int, default=2000,
+                   help="training corpus size (held-out probe clips start "
+                        "at this index, so they are never trained on)")
+    p.add_argument("--corpus", choices=["formant", "formant_v2", "formant_v3"],
+                   default="formant_v2")
+    p.add_argument("--steps", type=int, default=3000)
+    p.add_argument("--batch-size", type=int, default=8)
+    p.add_argument("--lr", type=float, default=3e-4)
+    p.add_argument("--channels", type=int, default=64)
+    p.add_argument("--gan-checkpoint", type=str,
+                   default="results/checkpoints/gan_formant_v2_r2.npz")
+    p.add_argument("--gan-config", type=str, default=None,
+                   help="GAN YAML (default: the GAN spectrogram profile)")
+    p.add_argument("--gap-len-range", type=float, nargs=2,
+                   default=[0.04, 0.128])
+    p.add_argument("--probe-every", type=int, default=200)
+    p.add_argument("--probe-clips", type=int, default=16)
+    p.add_argument("--probe-patience", type=int, default=8,
+                   help="stop after P probes without a new best (0 = off)")
+    p.add_argument("--out", type=str, required=True, help="output npz path")
+    p.add_argument("--seed", type=int, default=0)
+    return p
+
+
+def main(argv=None) -> None:
+    from ml_audio_inpainting_tpu.utils.platform import apply_platform_env
+
+    apply_platform_env()
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from ml_audio_inpainting_tpu.data.dataset import FormantSpeechDataset
+    from ml_audio_inpainting_tpu.train.checkpoints import (
+        export_params_npz,
+        load_params_npz,
+    )
+    from ml_audio_inpainting_tpu.train.gan_trainer import build_generator
+    from ml_audio_inpainting_tpu.train.refiner_trainer import (
+        create_refiner_state,
+        make_refiner_probe_fn,
+        make_refiner_train_step,
+    )
+    from ml_audio_inpainting_tpu.utils.config import (
+        Config,
+        SpectrogramConfig,
+        load_config,
+    )
+
+    args = build_argparser().parse_args(argv)
+    cfg = load_config(args.gan_config) if args.gan_config else Config()
+    if args.gan_config is None:
+        cfg.data.spectrogram = SpectrogramConfig(
+            n_fft=512, hop_length=128, win_length=512
+        )
+
+    gan = build_generator(cfg)
+    gan_vars = load_params_npz(args.gan_checkpoint)
+
+    variant = args.corpus.split("_")[1] if "_" in args.corpus else "v1"
+    ds = FormantSpeechDataset(
+        n_items=args.synthetic + args.probe_clips,
+        sample_rate=cfg.data.sample_rate,
+        max_len_s=cfg.data.max_len_s,
+        variant=variant,
+        cache=False,
+    )
+    probe_clips = jnp.asarray(
+        np.stack([ds[args.synthetic + i] for i in range(args.probe_clips)])
+    )
+
+    state = create_refiner_state(
+        jax.random.PRNGKey(args.seed), lr=args.lr, channels=args.channels
+    )
+    step = make_refiner_train_step(
+        cfg, gan, gan_vars, gap_len_range=tuple(args.gap_len_range)
+    )
+    probe = make_refiner_probe_fn(cfg, gan, gan_vars)
+
+    rng = np.random.default_rng(args.seed)
+    best, best_step, stale = -np.inf, -1, 0
+    out = Path(args.out)
+    out.parent.mkdir(parents=True, exist_ok=True)
+    t0 = time.time()
+    for i in range(args.steps):
+        idx = rng.integers(0, args.synthetic, size=args.batch_size)
+        audio = jnp.asarray(np.stack([ds[int(j)] for j in idx]))
+        state, metrics = step(state, audio, jax.random.PRNGKey(args.seed * 100003 + i))
+        if i % 50 == 0:
+            print(
+                f"step {i}: loss {float(metrics['loss']):+.4f} "
+                f"(ar baseline {float(metrics['ar_baseline']):+.4f}) "
+                f"[{i / max(time.time() - t0, 1e-9):.2f} it/s]",
+                flush=True,
+            )
+        if args.probe_every and (i + 1) % args.probe_every == 0:
+            sdr, ar_sdr = probe(state, probe_clips)
+            sdr, ar_sdr = float(sdr), float(ar_sdr)
+            marker = ""
+            if sdr > best:
+                best, best_step, stale = sdr, i + 1, 0
+                export_params_npz(out, {"params": state.params})
+                marker = "  <- new best (saved)"
+            else:
+                stale += 1
+            print(
+                f"probe @ {i + 1}: refined {sdr:+.3f} dB vs AR {ar_sdr:+.3f}"
+                f"{marker}", flush=True,
+            )
+            if args.probe_patience and stale >= args.probe_patience:
+                print(f"early stop: {stale} probes without improvement")
+                break
+    print(f"best probe gap-SDR {best:+.3f} dB @ step {best_step}; saved {out}")
+
+
+if __name__ == "__main__":
+    main()

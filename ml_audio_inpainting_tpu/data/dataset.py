@@ -127,6 +127,36 @@ class SyntheticSpeechDataset:
         return (sig / np.max(np.abs(sig))).astype(np.float32)
 
 
+#: Peterson & Barney (1952) average formant frequencies (F1, F2, F3) in Hz
+#: for the 10 American-English monophthongs /i ɪ ɛ æ ɑ ɔ ʊ u ɝ ʌ/ -- the
+#: classic measured vowel space, used by corpus v3 instead of v1/v2's
+#: uniform-random formant draws.
+_PB_MALE = np.array([
+    [270.0, 2290.0, 3010.0],
+    [390.0, 1990.0, 2550.0],
+    [530.0, 1840.0, 2480.0],
+    [660.0, 1720.0, 2410.0],
+    [730.0, 1090.0, 2440.0],
+    [570.0, 840.0, 2410.0],
+    [440.0, 1020.0, 2240.0],
+    [300.0, 870.0, 2240.0],
+    [490.0, 1350.0, 1690.0],
+    [640.0, 1190.0, 2390.0],
+])
+_PB_FEMALE = np.array([
+    [310.0, 2790.0, 3310.0],
+    [430.0, 2480.0, 3070.0],
+    [610.0, 2330.0, 2990.0],
+    [860.0, 2050.0, 2850.0],
+    [850.0, 1220.0, 2810.0],
+    [590.0, 920.0, 2710.0],
+    [470.0, 1160.0, 2680.0],
+    [370.0, 950.0, 2670.0],
+    [500.0, 1640.0, 1960.0],
+    [760.0, 1400.0, 2780.0],
+])
+
+
 class FormantSpeechDataset:
     """Formant-synthesized multi-speaker pseudo-speech (source-filter model).
 
@@ -152,6 +182,21 @@ class FormantSpeechDataset:
     with an anti-resonance notch, onset consonant clusters
     (plosive+fricative), voiced fricatives, and accented-syllable f0
     excursions on top of the phrase declination.
+
+    ``variant="v3"`` (VERDICT r2 #6) keeps everything in v2 and adds what
+    real RECORDINGS of read speech have and clean synthesis lacks:
+
+    * vowel targets drawn from the Peterson-Barney (1952) measured
+      American-English formant table (per-speaker male/female group
+      chosen by f0) instead of uniform-random F1/F2 draws;
+    * locus-based coarticulation: the first third of each vowel glides
+      from the onset consonant's F1/F2 locus to the vowel target (v1/v2
+      transitions came only from symmetric track smoothing);
+    * room reverberation: convolution with a synthetic RIR (direct path,
+      2-8 ms pre-delay, exponentially-decaying noise tail, RT60
+      0.12-0.5 s, direct-to-reverb ratio 3-12 dB) on half the items;
+    * additive noise events: short band-limited bursts (page turns,
+      thumps) and/or a steady background noise floor at 25-40 dB SNR.
     """
 
     #: per-frame hop of the parameter tracks (10 ms at 16 kHz)
@@ -167,7 +212,7 @@ class FormantSpeechDataset:
         cache_dir: Optional[str] = None,
         variant: str = "v1",
     ):
-        if variant not in ("v1", "v2"):
+        if variant not in ("v1", "v2", "v3"):
             raise ValueError(f"unknown corpus variant {variant!r}")
         self.n_items = n_items
         self.sample_rate = sample_rate
@@ -205,13 +250,16 @@ class FormantSpeechDataset:
         every committed v1 item) is bit-identical to round 2.
         """
         sr = self.sample_rate
-        rich = self.variant == "v2"
+        rich = self.variant in ("v2", "v3")
+        v3 = self.variant == "v3"
         n_frames = self.max_samples // self.FRAME + 1
 
         # Speaker identity.
         f0_base = np.exp(rng.uniform(np.log(85.0), np.log(235.0)))
         f_shift = rng.uniform(0.88, 1.18)  # vocal-tract length factor
         rate = rng.uniform(0.72, 1.35) if rich else 1.0  # speaking rate
+        # v3: speaker's measured vowel table (Peterson-Barney group by f0).
+        pb = _PB_FEMALE if f0_base > 155.0 else _PB_MALE
 
         voiced = np.zeros(n_frames)
         gain = np.zeros(n_frames)
@@ -237,7 +285,11 @@ class FormantSpeechDataset:
             for _ in range(n_syll):
                 if t_f >= n_frames:
                     break
-                # Optional onset consonant.
+                # Optional onset consonant.  v3 tracks the consonant's
+                # formant LOCUS so the following vowel can glide from it
+                # (coarticulation; v1/v2 transitions come only from the
+                # symmetric track smoothing below).
+                locus = None
                 c = rng.uniform()
                 if c < 0.22:  # plosive: silence then a short burst
                     t_f += int(rng.uniform(0.03, 0.07) / rate / frame_s)
@@ -246,6 +298,10 @@ class FormantSpeechDataset:
                     fric[t_f:e] = rng.uniform(0.5, 1.0)
                     fric_freq[t_f:e] = rng.uniform(1500.0, 6000.0)
                     t_f = e
+                    if v3:
+                        # Place of articulation -> classic F2 locus
+                        # (labial ~700, alveolar ~1800, velar ~2300 Hz).
+                        locus = (250.0, float(rng.choice([700.0, 1800.0, 2300.0])))
                     if rich and rng.uniform() < 0.35:
                         # Cluster: the plosive releases into a fricative
                         # (affricate / sC-cluster texture).
@@ -259,7 +315,10 @@ class FormantSpeechDataset:
                     e = min(n_frames, t_f + dur)
                     ramp = np.minimum(np.arange(e - t_f) + 1, 4) / 4.0
                     fric[t_f:e] = rng.uniform(0.15, 0.5) * ramp
-                    fric_freq[t_f:e] = rng.uniform(2800.0, 6500.0)
+                    fq = rng.uniform(2800.0, 6500.0)
+                    fric_freq[t_f:e] = fq
+                    if v3:
+                        locus = (250.0, float(np.clip(0.4 * fq, 900.0, 2300.0)))
                     if rich and rng.uniform() < 0.30:
                         # Voiced fricative (/z/, /v/): keep the glottal
                         # source running under the noise.
@@ -278,25 +337,49 @@ class FormantSpeechDataset:
                     gain[t_f:e] = rng.uniform(0.25, 0.45)
                     nasal[t_f:e] = 1.0
                     t_f = e
+                    if v3:
+                        locus = (280.0, 1200.0)
                 # Voiced nucleus (vowel).
                 dur = max(2, int(rng.uniform(0.07, 0.24) / rate / frame_s))
                 e = min(n_frames, t_f + dur)
                 if e <= t_f:
                     break
-                f1 = rng.uniform(260.0, 850.0)
-                f2 = rng.uniform(f1 + 300.0, 2350.0)
-                f3 = rng.uniform(max(f2 + 350.0, 2300.0), 3200.0)
+                span = e - t_f
+                if v3:
+                    # Measured vowel space (Peterson-Barney) with +-5%
+                    # per-token scatter instead of uniform-random draws.
+                    f1, f2, f3 = pb[rng.integers(len(pb))] * rng.uniform(
+                        0.95, 1.05, 3
+                    )
+                else:
+                    f1 = rng.uniform(260.0, 850.0)
+                    f2 = rng.uniform(f1 + 300.0, 2350.0)
+                    f3 = rng.uniform(max(f2 + 350.0, 2300.0), 3200.0)
                 if rich and rng.uniform() < 0.35:
                     # Diphthong: glide to a second target across the
                     # nucleus (real vowels move; v1's are stationary).
-                    f1b = rng.uniform(260.0, 850.0)
-                    f2b = rng.uniform(f1b + 300.0, 2350.0)
-                    span = e - t_f
-                    F[t_f:e, 0] = np.linspace(f1, f1b, span) * f_shift
-                    F[t_f:e, 1] = np.linspace(f2, f2b, span) * f_shift
+                    if v3:
+                        f1b, f2b, _ = pb[rng.integers(len(pb))] * rng.uniform(
+                            0.95, 1.05, 3
+                        )
+                    else:
+                        f1b = rng.uniform(260.0, 850.0)
+                        f2b = rng.uniform(f1b + 300.0, 2350.0)
+                    t1 = np.linspace(f1, f1b, span)
+                    t2 = np.linspace(f2, f2b, span)
                 else:
-                    F[t_f:e, 0] = f1 * f_shift
-                    F[t_f:e, 1] = f2 * f_shift
+                    t1 = np.full(span, f1)
+                    t2 = np.full(span, f2)
+                if v3 and locus is not None:
+                    # Coarticulation: glide the first third of the vowel
+                    # from the onset consonant's locus to the target.
+                    k = max(2, int(0.33 * span))
+                    if k <= span:
+                        ramp = np.linspace(0.0, 1.0, k)
+                        t1[:k] = locus[0] * (1.0 - ramp) + t1[:k] * ramp
+                        t2[:k] = locus[1] * (1.0 - ramp) + t2[:k] * ramp
+                F[t_f:e, 0] = t1 * f_shift
+                F[t_f:e, 1] = t2 * f_shift
                 F[t_f:e, 2] = f3 * f_shift
                 F[t_f:e, 3] = rng.uniform(3400.0, 4000.0) * f_shift
                 voiced[t_f:e] = 1.0
@@ -341,7 +424,8 @@ class FormantSpeechDataset:
 
         sr = self.sample_rate
         n = self.max_samples
-        rich = self.variant == "v2"
+        rich = self.variant in ("v2", "v3")
+        v3 = self.variant == "v3"
         voiced, gain, fric, fric_freq, f0, F, nasal = self._build_tracks(rng)
         n_frames = len(voiced)
 
@@ -430,6 +514,52 @@ class FormantSpeechDataset:
 
         out = voiced_path / active_rms(voiced_path, voiced_s > 0.5)
         out = out + 0.13 * noise_path / active_rms(noise_path, fr_gain > 0.05)
+
+        if v3:
+            # Room reverberation: direct path + pre-delay + exponentially
+            # decaying noise tail (RT60 0.12-0.5 s), energy set by a
+            # direct-to-reverb ratio of 3-12 dB.
+            if rng.uniform() < 0.5:
+                rt60 = rng.uniform(0.12, 0.5)
+                pre = int(rng.uniform(0.002, 0.008) * sr)
+                L = int(0.8 * rt60 * sr)
+                tail = rng.standard_normal(L) * np.exp(
+                    -6.908 * np.arange(L) / (rt60 * sr)
+                )
+                drr = 10.0 ** (-rng.uniform(3.0, 12.0) / 20.0)
+                tail *= drr / (np.sqrt(np.sum(tail**2)) + 1e-12)
+                rir = np.concatenate([[1.0], np.zeros(pre), tail])
+                from scipy.signal import fftconvolve
+
+                out = fftconvolve(out, rir)[:n]
+            sig_rms = float(np.sqrt(np.mean(out**2))) + 1e-12
+            # Short band-limited noise events (thumps, page turns).
+            if rng.uniform() < 0.45:
+                for _ in range(int(rng.integers(1, 4))):
+                    dur = int(rng.uniform(0.05, 0.30) * sr)
+                    t0 = int(rng.integers(0, max(1, n - dur)))
+                    burst = rng.standard_normal(dur)
+                    if rng.uniform() < 0.6:
+                        bfc = rng.uniform(150.0, 4000.0)
+                        bbw = rng.uniform(200.0, 1200.0)
+                        rr_b = np.exp(-np.pi * bbw / sr)
+                        th = 2.0 * np.pi * bfc / sr
+                        burst = lfilter(
+                            [1.0 - rr_b],
+                            [1.0, -2.0 * rr_b * np.cos(th), rr_b * rr_b],
+                            burst,
+                        )
+                    burst *= np.hanning(dur) ** 0.5
+                    local_snr = rng.uniform(10.0, 25.0)
+                    lvl = sig_rms * 10.0 ** (-local_snr / 20.0)
+                    burst *= lvl / (np.sqrt(np.mean(burst**2)) + 1e-12)
+                    out[t0:t0 + dur] += burst
+            # Steady background noise floor.
+            if rng.uniform() < 0.35:
+                snr = rng.uniform(25.0, 40.0)
+                out = out + rng.standard_normal(n) * sig_rms * 10.0 ** (
+                    -snr / 20.0
+                )
 
         # Recording noise floor + robust normalization (99.9th-percentile
         # scale so one plosive burst cannot crush the vowels).

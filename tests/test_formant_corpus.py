@@ -15,7 +15,7 @@ from ml_audio_inpainting_tpu.data.dataset import FormantSpeechDataset
 SR = 16000
 
 
-@pytest.fixture(scope="module", params=["v1", "v2"])
+@pytest.fixture(scope="module", params=["v1", "v2", "v3"])
 def items(request):
     ds = FormantSpeechDataset(n_items=6, cache=False, variant=request.param)
     return [ds[i] for i in range(6)]
@@ -50,7 +50,43 @@ class TestFormantCorpus:
         np.testing.assert_array_equal(a[1], b[1])
         assert not np.array_equal(a[1], v1[1])
         with pytest.raises(ValueError):
-            FormantSpeechDataset(variant="v3")
+            FormantSpeechDataset(variant="v9")
+
+    def test_v2_stream_pinned(self):
+        """The committed round-2 headline checkpoints were trained on v2;
+        its stream is as load-bearing as v1's now (corpus-variant work is
+        additive-only: v3 draws live in their own keyed stream)."""
+        import hashlib
+
+        x = FormantSpeechDataset(n_items=1, cache=False, variant="v2")[0]
+        assert hashlib.blake2s(x.tobytes()).hexdigest()[:16] == "d1c24a71d46cb255"
+
+    def test_v3_differs_and_is_deterministic(self):
+        a = FormantSpeechDataset(n_items=2, cache=False, variant="v3")
+        b = FormantSpeechDataset(n_items=2, cache=False, variant="v3")
+        v2 = FormantSpeechDataset(n_items=2, cache=False, variant="v2")
+        np.testing.assert_array_equal(a[1], b[1])
+        assert not np.array_equal(a[1], v2[1])
+
+    def test_v3_vowels_land_in_measured_space(self):
+        """v3 draws vowel targets from the Peterson-Barney table; the
+        strongest spectral peaks of voiced frames must therefore sit in
+        the F1 region the table spans (~250-900 Hz with speaker scaling),
+        not anywhere the v1/v2 uniform draw allowed."""
+        ds = FormantSpeechDataset(n_items=3, cache=False, variant="v3")
+        sr = 16000
+        for i in range(3):
+            x = ds[i]
+            frames = x[: (len(x) // 512) * 512].reshape(-1, 512)
+            rms = np.sqrt((frames**2).mean(axis=1))
+            loud = frames[rms > 2.0 * rms.mean()]
+            if len(loud) == 0:
+                continue
+            spec = np.abs(np.fft.rfft(loud * np.hanning(512), axis=-1))
+            freqs = np.fft.rfftfreq(512, 1.0 / sr)
+            peak = freqs[np.argmax(spec[:, 2:], axis=-1) + 2]
+            # median dominant peak of loud frames ~ F1 (or f0 just below)
+            assert 80.0 < np.median(peak) < 1100.0, np.median(peak)
 
     def test_speech_like_duty_cycle(self, items):
         """Real read speech has substantial pauses but is mostly active
