@@ -176,7 +176,11 @@ def _build_runner(args, cfg, n_samples: int):
                 n_fft=512, hop_length=128, win_length=512
             )
         gan = build_generator(gcfg)
-        gan_vars = load_params_npz(args.gan_checkpoint)
+        gan_ckpt = Path(args.gan_checkpoint)
+        if not gan_ckpt.exists():
+            # default is repo-relative; resolve it when invoked elsewhere
+            gan_ckpt = Path(__file__).resolve().parents[2] / args.gan_checkpoint
+        gan_vars = load_params_npz(gan_ckpt)
         if not args.checkpoint:
             raise SystemExit("--model refiner requires --checkpoint (head npz)")
         from ml_audio_inpainting_tpu.train.refiner_trainer import (

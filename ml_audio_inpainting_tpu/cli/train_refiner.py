@@ -85,7 +85,6 @@ def main(argv=None) -> None:
         sample_rate=cfg.data.sample_rate,
         max_len_s=cfg.data.max_len_s,
         variant=variant,
-        cache=False,
     )
     probe_clips = jnp.asarray(
         np.stack([ds[args.synthetic + i] for i in range(args.probe_clips)])
