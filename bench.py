@@ -21,16 +21,23 @@ import time
 import numpy as np
 
 
-def _measure(fn, *args, iters=10, warmup=1):
-    """Median-of-iters wall time; materializes the output each call (on the
-    tunneled axon platform ``block_until_ready`` returns early, so host
+def _measure_times(fn, *args, iters=10, warmup=1):
+    """Per-call wall times (seconds); materializes the output each call (on
+    the tunneled axon platform ``block_until_ready`` returns early, so host
     materialization is the only honest completion barrier)."""
     for _ in range(warmup):
         np.asarray(fn(*args))
-    t0 = time.perf_counter()
+    times = []
     for _ in range(iters):
+        t0 = time.perf_counter()
         np.asarray(fn(*args))
-    return (time.perf_counter() - t0) / iters
+        times.append(time.perf_counter() - t0)
+    return np.asarray(times)
+
+
+def _measure(fn, *args, iters=10, warmup=1):
+    """Median per-call wall time."""
+    return float(np.median(_measure_times(fn, *args, iters=iters, warmup=warmup)))
 
 
 def main() -> None:
@@ -71,7 +78,12 @@ def main() -> None:
     )
     fn = make_gan_inpaint_fn(cfg, gen)
 
-    dt = _measure(lambda: fn(variables, audio, gap_start, gap_len)[0], iters=10)
+    # Dispersion matters: the host-link-bound serving number swings with
+    # relay load (270-385 s-audio/s observed across round captures), so the
+    # canonical line carries median + IQR over the individual repeats.
+    times = _measure_times(lambda: fn(variables, audio, gap_start, gap_len)[0], iters=10)
+    dt = float(np.median(times))
+    q1, q3 = np.percentile(batch * clip_s / times, [25, 75])
     value = batch * clip_s / dt
 
     # MFU: compiled-graph FLOPs (XLA cost analysis) over chip peak.  The
@@ -122,6 +134,9 @@ def main() -> None:
                 "value": round(value, 2),
                 "unit": "s_audio/s/chip",
                 "vs_baseline": round(value / 100.0, 3),
+                "batch": batch,
+                "n_repeats": len(times),
+                "iqr": [round(float(q1), 2), round(float(q3), 2)],
                 "mfu": mfu,
                 "device_kind": device_kind,
                 "b64_bf16_s_audio_per_s": b64_value,
@@ -132,20 +147,37 @@ def main() -> None:
     if not run_all:
         return
 
-    def emit(metric, value, unit):
-        print(json.dumps({"metric": metric, "value": round(value, 2), "unit": unit}))
+    def emit(metric, value, unit, **extra):
+        print(json.dumps(
+            {"metric": metric, "value": round(value, 2), "unit": unit, **extra}
+        ))
 
-    # Pipelined serving throughput: dispatch every batch first, then drain all
-    # outputs -- device compute overlaps host transfers, which is how a real
-    # serving loop consumes results.  (The canonical metric above serializes
-    # transfer after compute per batch: a strict lower bound.)
+    # Pipelined serving throughput, bounded in-flight window of 2: dispatch
+    # batch i+1 before draining batch i so device compute can overlap the
+    # host transfer.  The round-2 unbounded dispatch-all-then-drain variant
+    # measured 2.2x SLOWER than the serialized path -- queued
+    # materializations serialize at the axon relay, so an unbounded queue
+    # only adds relay contention.  The window-2 form is the pattern a real
+    # serving loop uses; on this tunneled environment it measures at parity
+    # with the serialized path (the relay admits one transfer at a time),
+    # which the `note` field records.
     iters = 10
     t0 = time.perf_counter()
-    outs = [fn(variables, audio, gap_start, gap_len)[0] for _ in range(iters)]
-    for o in outs:
-        np.asarray(o)
+    pending = None
+    for _ in range(iters):
+        nxt = fn(variables, audio, gap_start, gap_len)[0]
+        if pending is not None:
+            np.asarray(pending)
+        pending = nxt
+    np.asarray(pending)
     dt_pipe = (time.perf_counter() - t0) / iters
-    emit("pipelined_inference_audio_seconds_per_sec", batch * clip_s / dt_pipe, "s_audio/s/chip")
+    emit(
+        "pipelined_inference_audio_seconds_per_sec",
+        batch * clip_s / dt_pipe,
+        "s_audio/s/chip",
+        window=2,
+        note="axon relay serializes transfers; parity with serialized path expected here",
+    )
 
     import functools
 
@@ -222,6 +254,54 @@ def main() -> None:
             emit("cnn_blstm_train_mfu_pct", 100.0 * flops / dt / peak, "% of bf16 peak")
     except Exception:
         pass
+
+    # GAN two-optimizer train step (flagship family): throughput + MFU at
+    # the quality-recipe batch (B=4) and the measured throughput sweet spot
+    # (B=16, results/README.md batch-scaling table).
+    from ml_audio_inpainting_tpu.train.gan_trainer import (
+        create_gan_states,
+        make_gan_train_step,
+    )
+
+    g_state, d_state = create_gan_states(cfg, jax.random.PRNGKey(0))
+    gstep = make_gan_train_step(cfg)
+    for gb in (4, 16):
+        if gb > batch:
+            continue
+        gaudio = audio[:gb]
+
+        def one_gan_step():
+            nonlocal g_state, d_state
+            g_state, d_state, metrics = gstep(
+                g_state, d_state, gaudio, jax.random.PRNGKey(0)
+            )
+            return metrics["g_total"]
+
+        dt = _measure(one_gan_step, iters=5)
+        emit(f"gan_train_steps_per_sec_b{gb}", 1.0 / dt, "steps/s")
+        emit(
+            f"gan_train_audio_seconds_per_sec_b{gb}",
+            gb * clip_s / dt,
+            "s_audio/s/chip",
+        )
+        try:
+            compiled = (
+                jax.jit(gstep)
+                .lower(g_state, d_state, gaudio, jax.random.PRNGKey(0))
+                .compile()
+            )
+            ca = compiled.cost_analysis()
+            ca = ca[0] if isinstance(ca, (list, tuple)) else ca
+            flops = float(ca.get("flops", 0.0)) if ca else 0.0
+            peak = PEAK_BF16_FLOPS.get(device_kind)
+            if flops > 0 and peak:
+                emit(
+                    f"gan_train_mfu_pct_b{gb}",
+                    100.0 * flops / dt / peak,
+                    "% of bf16 peak",
+                )
+        except Exception:
+            pass
 
 
 if __name__ == "__main__":

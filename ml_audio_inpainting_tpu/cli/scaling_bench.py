@@ -1,0 +1,234 @@
+"""Multi-device scaling measurement on a virtual (or real) mesh.
+
+VERDICT r2 #9: the 8-device dryrun proves the sharded step compiles and
+runs; this CLI quantifies it -- a >=50-step data-parallel scaling curve
+(steps/s per device count at FIXED global batch, i.e. strong scaling) plus
+per-step numerics drift vs the single-device run, written as JSON
+(``results/multichip_scaling.json``).
+
+On a host with one real chip it self-provisions a virtual CPU mesh the same
+way ``__graft_entry__.dryrun_multichip`` does (subprocess with
+``--xla_force_host_platform_device_count``).  Virtual CPU devices share the
+host's cores, so steps/s is NOT expected to scale -- the curve isolates the
+partition/collective OVERHEAD of the sharded program and proves the
+numerics; on real multi-chip hardware the same command measures true
+scaling.
+
+Usage::
+
+    python -m ml_audio_inpainting_tpu.cli.scaling_bench \
+        --devices 1 2 4 8 --steps 50 --output-json results/multichip_scaling.json
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+
+def build_argparser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description="DP scaling curve on a device mesh")
+    p.add_argument("--devices", type=int, nargs="+", default=[1, 2, 4, 8])
+    p.add_argument("--steps", type=int, default=50)
+    p.add_argument("--global-batch", type=int, default=8,
+                   help="fixed global batch (strong scaling); must divide by "
+                        "every --devices entry")
+    p.add_argument("--models", nargs="+", default=["gan", "cnn_blstm"],
+                   choices=["gan", "cnn_blstm"])
+    p.add_argument("--clip-seconds", type=float, default=1.0,
+                   help="clip length (production is 5 s; shorter keeps the "
+                        "virtual-CPU run in budget)")
+    p.add_argument("--output-json", type=str, default=None)
+    return p
+
+
+def main(argv=None) -> None:
+    args = build_argparser().parse_args(argv)
+    n_max = max(args.devices)
+    for n in args.devices:
+        if args.global_batch % n:
+            raise SystemExit(f"--global-batch {args.global_batch} % {n} != 0")
+
+    import __graft_entry__ as graft
+
+    live = graft._initialized_device_count()
+    if live is not None and live >= n_max:
+        payload = _run(args)
+    else:
+        # Self-provision a virtual CPU mesh in a subprocess (the axon TPU
+        # plugin exposes exactly one chip and ignores JAX_PLATFORMS).
+        import os
+        import subprocess
+        import sys
+        import tempfile
+
+        env = dict(os.environ)
+        flags = env.get("XLA_FLAGS", "")
+        if "xla_force_host_platform_device_count" not in flags:
+            env["XLA_FLAGS"] = (
+                f"{flags} --xla_force_host_platform_device_count={n_max}".strip()
+            )
+        env["JAX_PLATFORMS"] = "cpu"
+        with tempfile.NamedTemporaryFile(suffix=".json", delete=False) as f:
+            tmp = f.name
+        sub_argv = [
+            "--devices", *map(str, args.devices),
+            "--steps", str(args.steps),
+            "--global-batch", str(args.global_batch),
+            "--models", *args.models,
+            "--clip-seconds", str(args.clip_seconds),
+            "--output-json", tmp,
+        ]
+        # Call the runner DIRECTLY (not main): before any backend touch,
+        # ``_initialized_device_count()`` is None even in the provisioned
+        # subprocess, so re-entering main() would recurse into another
+        # subprocess, forever (same structure as
+        # ``__graft_entry__.dryrun_multichip`` -> ``_dryrun_multichip_impl``).
+        code = (
+            "import jax; jax.config.update('jax_platforms', 'cpu'); "
+            "from ml_audio_inpainting_tpu.cli.scaling_bench import _subprocess_run; "
+            f"_subprocess_run({sub_argv!r})"
+        )
+        repo_root = os.path.dirname(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))))
+        proc = subprocess.run([sys.executable, "-c", code], cwd=repo_root, env=env)
+        if proc.returncode != 0:
+            raise SystemExit(f"scaling subprocess failed (rc={proc.returncode})")
+        payload = json.loads(open(tmp).read())
+        os.unlink(tmp)
+
+    if args.output_json:
+        from pathlib import Path
+
+        Path(args.output_json).write_text(json.dumps(payload, indent=2))
+        print(f"wrote {args.output_json}")
+
+
+def _subprocess_run(argv) -> None:
+    """Entry for the self-provisioned CPU-mesh subprocess: run the
+    measurement directly (no device-count check, no re-spawn)."""
+    from pathlib import Path
+
+    args = build_argparser().parse_args(argv)
+    payload = _run(args)
+    Path(args.output_json).write_text(json.dumps(payload, indent=2))
+
+
+def _run(args) -> dict:
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from ml_audio_inpainting_tpu.parallel.mesh import (
+        batch_sharding,
+        make_mesh,
+        replicated,
+        shard_batch,
+    )
+    from ml_audio_inpainting_tpu.parallel.sharding import (
+        make_sharded_step,
+        place_state,
+        state_shardings,
+    )
+    from ml_audio_inpainting_tpu.train.cnn_trainer import (
+        create_cnn_state,
+        make_cnn_train_step,
+    )
+    from ml_audio_inpainting_tpu.train.gan_trainer import (
+        create_gan_states,
+        make_gan_train_step,
+    )
+    from ml_audio_inpainting_tpu.utils.config import Config, SpectrogramConfig
+
+    B = args.global_batch
+    rng = np.random.default_rng(0)
+    payload = {
+        "condition": {
+            "global_batch": B,
+            "steps": args.steps,
+            "clip_seconds": args.clip_seconds,
+            "platform": jax.devices()[0].platform,
+            "device_kind": jax.devices()[0].device_kind,
+            "note": "strong scaling (fixed global batch). On virtual CPU "
+                    "devices sharing host cores, steps/s quantifies sharded-"
+                    "program overhead, not hardware speedup.",
+        },
+        "models": {},
+    }
+
+    for model in args.models:
+        cfg = Config()
+        if model == "gan":
+            cfg.data.spectrogram = SpectrogramConfig(
+                n_fft=512, hop_length=128, win_length=512
+            )
+            # keep the virtual-CPU run in budget: VGG terms off
+            cfg.training.lambda_vgg_perceptual = 0.0
+            cfg.training.lambda_vgg_style = 0.0
+        cfg.data.max_len_s = args.clip_seconds
+        n_samples = cfg.data.max_samples
+        audio_np = rng.standard_normal((B, n_samples)).astype(np.float32) * 0.1
+
+        per_n: dict = {}
+        ref_losses = None
+        for n in sorted(args.devices):
+            devices = jax.devices()[:n]
+            mesh = make_mesh(data_parallel=n, model_parallel=1, devices=devices)
+            key = jax.random.PRNGKey(0)
+            losses = []
+            if model == "cnn_blstm":
+                state = create_cnn_state(cfg, jax.random.PRNGKey(0))
+                step = make_sharded_step(make_cnn_train_step(cfg), state, mesh)
+                state = place_state(state, mesh)
+                audio = shard_batch(audio_np, mesh)
+                state, m = step(state, audio, key)  # compile + warmup
+                float(m["loss"])
+                t0 = time.perf_counter()
+                for i in range(args.steps):
+                    state, m = step(state, audio, jax.random.PRNGKey(i))
+                    losses.append(float(m["loss"]))
+                dt = (time.perf_counter() - t0) / args.steps
+            else:
+                g_state, d_state = create_gan_states(cfg, jax.random.PRNGKey(0))
+                gan_step = make_gan_train_step(cfg)
+                g_sh = state_shardings(g_state, mesh)
+                d_sh = state_shardings(d_state, mesh)
+                sharded = jax.jit(
+                    gan_step,
+                    in_shardings=(g_sh, d_sh, batch_sharding(mesh), replicated(mesh)),
+                    out_shardings=(g_sh, d_sh, replicated(mesh)),
+                )
+                g_state = jax.device_put(g_state, g_sh)
+                d_state = jax.device_put(d_state, d_sh)
+                audio = shard_batch(audio_np, mesh)
+                g_state, d_state, m = sharded(g_state, d_state, audio, key)
+                float(m["g_total"])
+                t0 = time.perf_counter()
+                for i in range(args.steps):
+                    g_state, d_state, m = sharded(
+                        g_state, d_state, audio, jax.random.PRNGKey(i)
+                    )
+                    losses.append(float(m["g_total"]))
+                dt = (time.perf_counter() - t0) / args.steps
+
+            entry = {
+                "steps_per_sec": round(1.0 / dt, 3),
+                "audio_seconds_per_sec": round(B * args.clip_seconds / dt, 2),
+                "final_loss": losses[-1],
+            }
+            if ref_losses is None:
+                ref_losses = losses
+            else:
+                drift = float(np.max(np.abs(np.asarray(losses) - np.asarray(ref_losses))))
+                rel = drift / (float(np.max(np.abs(ref_losses))) + 1e-12)
+                entry["max_abs_loss_drift_vs_1dev"] = drift
+                entry["max_rel_loss_drift_vs_1dev"] = rel
+            per_n[str(n)] = entry
+            print(f"{model} n={n}: {entry}", flush=True)
+        payload["models"][model] = per_n
+    return payload
+
+
+if __name__ == "__main__":
+    main()

@@ -97,6 +97,13 @@ def make_example_fn(
         impaired = audio * tmask
         neural = inpaint_fn(gan_variables, audio, gap_start, gap_len)[0]
         fill = ar_fn(impaired, tmask, gap_start, gap_len)
+        # An f32 LPC fit on a near-silent context can be numerically
+        # unstable and the extrapolation overflows (random TRAINING gaps
+        # land in pauses; the fixed eval condition rarely does).  Waveforms
+        # live in [-1, 1]: sanitize both solver channels so one blown fill
+        # cannot NaN the step.
+        fill = jnp.clip(jnp.nan_to_num(fill), -4.0, 4.0)
+        neural = jnp.clip(jnp.nan_to_num(neural), -4.0, 4.0)
 
         ctx = (WINDOW - MAX_GAP) // 2
         start = jnp.clip(gap_start - ctx, 0, S - WINDOW)
@@ -123,12 +130,22 @@ def make_example_fn(
     return examples
 
 
-def _gap_loss(out, clean, gap_ind):
+def _gap_loss(out, clean, gap_ind, energy_gate: bool = False):
     """Per-clip log error-to-reference energy ratio over the gap: the
-    negative of gap-SDR up to a 10/ln10 factor."""
+    negative of gap-SDR up to a 10/ln10 factor.
+
+    With ``energy_gate`` each clip's term is weighted by
+    ``ref / (ref + median(ref))`` -- a soft gate that mutes near-silent
+    gaps, whose err/ref ratio is epsilon noise and (measured, round 3)
+    drowns the learnable signal: the ungated recipe's probe never moved
+    more than 0.01 dB off the AR baseline."""
     err = jnp.sum((out - clean) ** 2 * gap_ind, axis=-1)
     ref = jnp.sum(clean**2 * gap_ind, axis=-1)
-    return jnp.mean(jnp.log((err + 1e-9) / (ref + 1e-9)))
+    li = jnp.log((err + 1e-9) / (ref + 1e-9))
+    if not energy_gate:
+        return jnp.mean(li)
+    w = ref / (ref + jnp.median(ref) + 1e-12)
+    return jnp.sum(w * li) / (jnp.sum(w) + 1e-12)
 
 
 def make_refiner_train_step(
@@ -136,22 +153,40 @@ def make_refiner_train_step(
     gan_model,
     gan_variables,
     gap_len_range: Tuple[float, float] = (0.04, 0.128),
+    energy_cands: int = 8,
 ) -> Callable:
     """Fused corrupt -> solve -> refine -> grad step.
 
-    ``gap_len_range`` in seconds (upper bound clamps to ``MAX_GAP``)."""
+    ``gap_len_range`` in seconds (upper bound clamps to ``MAX_GAP``).
+
+    Gap placement draws ``energy_cands`` candidate starts per clip and
+    keeps the one with the highest clean energy inside the gap -- random
+    gaps on the formant corpus land in pauses often enough that the
+    (scale-invariant) loss is dominated by silence (measured, round 3:
+    the uniform-placement recipe's probe never left the AR baseline).
+    Voiced placement also matches the eval contract, whose t=2.0 s gap
+    sits in running speech.  ``energy_cands=1`` restores uniform
+    placement."""
     examples = make_example_fn(cfg, gan_model, gan_variables)
     sr = cfg.data.sample_rate
     lo = int(gap_len_range[0] * sr)
     hi = min(int(gap_len_range[1] * sr), MAX_GAP)
     margin = 8192  # keep the AR context inside the clip
+    K = max(int(energy_cands), 1)
 
     @jax.jit
     def step(state: RefinerState, audio: jnp.ndarray, key: jax.Array):
         B, S = audio.shape
         k1, k2 = jax.random.split(key)
         gl = jax.random.randint(k1, (B,), lo, hi + 1)
-        gs = jax.random.randint(k2, (B,), margin, S - margin - hi)
+        cands = jax.random.randint(k2, (B, K), margin, S - margin - hi)
+        # pick the candidate with max clean gap energy (cumsum lookup)
+        csum = jnp.cumsum(audio**2, axis=-1)  # (B, S)
+        e_hi = jnp.take_along_axis(csum, cands + gl[:, None], axis=-1)
+        e_lo = jnp.take_along_axis(csum, cands, axis=-1)
+        gs = jnp.take_along_axis(
+            cands, jnp.argmax(e_hi - e_lo, axis=-1)[:, None], axis=-1
+        )[:, 0]
         ex = examples(audio, gs, gl)
 
         def loss_fn(params):
@@ -159,12 +194,12 @@ def make_refiner_train_step(
                 {"params": params},
                 ex["impaired"], ex["ar"], ex["neural"], ex["gap_ind"],
             )
-            return _gap_loss(out, ex["clean"], ex["gap_ind"])
+            return _gap_loss(out, ex["clean"], ex["gap_ind"], energy_gate=True)
 
         loss, grads = jax.value_and_grad(loss_fn)(state.params)
         state = state.apply_gradients(grads=grads)
         # baseline: the AR fill's own loss, for live improvement tracking
-        base = _gap_loss(ex["ar"], ex["clean"], ex["gap_ind"])
+        base = _gap_loss(ex["ar"], ex["clean"], ex["gap_ind"], energy_gate=True)
         return state, {"loss": loss, "ar_baseline": base}
 
     return step
