@@ -35,6 +35,10 @@ def build_argparser() -> argparse.ArgumentParser:
                    help="GAN YAML (default: the GAN spectrogram profile)")
     p.add_argument("--gap-len-range", type=float, nargs=2,
                    default=[0.04, 0.128])
+    p.add_argument("--delta-penalty", type=float, default=0.0,
+                   help="lambda on gap delta-to-reference energy: biases "
+                        "the head toward the AR baseline (domain-transfer "
+                        "safety; 0 = raw gap-SDR objective)")
     p.add_argument("--probe-every", type=int, default=200)
     p.add_argument("--probe-clips", type=int, default=16)
     p.add_argument("--probe-patience", type=int, default=8,
@@ -94,7 +98,8 @@ def main(argv=None) -> None:
         jax.random.PRNGKey(args.seed), lr=args.lr, channels=args.channels
     )
     step = make_refiner_train_step(
-        cfg, gan, gan_vars, gap_len_range=tuple(args.gap_len_range)
+        cfg, gan, gan_vars, gap_len_range=tuple(args.gap_len_range),
+        delta_penalty=args.delta_penalty,
     )
     probe = make_refiner_probe_fn(cfg, gan, gan_vars)
 

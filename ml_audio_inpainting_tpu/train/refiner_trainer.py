@@ -154,10 +154,18 @@ def make_refiner_train_step(
     gan_variables,
     gap_len_range: Tuple[float, float] = (0.04, 0.128),
     energy_cands: int = 8,
+    delta_penalty: float = 0.0,
 ) -> Callable:
     """Fused corrupt -> solve -> refine -> grad step.
 
     ``gap_len_range`` in seconds (upper bound clamps to ``MAX_GAP``).
+
+    ``delta_penalty`` adds ``lambda * E[gap delta energy / gap reference
+    energy]`` -- an explicit bias toward the AR baseline.  The head's raw
+    objective is minimized on the synthetic corpus; out of domain the
+    learned correction can overshoot (measured: +1.3 dB in-domain gain,
+    -1.5 dB on the real eval clips), and shrinking the correction bounds
+    that regression at the cost of in-domain gain.
 
     Gap placement draws ``energy_cands`` candidate starts per clip and
     keeps the one with the highest clean energy inside the gap -- random
@@ -194,7 +202,12 @@ def make_refiner_train_step(
                 {"params": params},
                 ex["impaired"], ex["ar"], ex["neural"], ex["gap_ind"],
             )
-            return _gap_loss(out, ex["clean"], ex["gap_ind"], energy_gate=True)
+            loss = _gap_loss(out, ex["clean"], ex["gap_ind"], energy_gate=True)
+            if delta_penalty > 0.0:
+                d2 = jnp.sum((out - ex["ar"]) ** 2 * ex["gap_ind"], axis=-1)
+                ref = jnp.sum(ex["clean"] ** 2 * ex["gap_ind"], axis=-1)
+                loss = loss + delta_penalty * jnp.mean(d2 / (ref + 1e-9))
+            return loss
 
         loss, grads = jax.value_and_grad(loss_fn)(state.params)
         state = state.apply_gradients(grads=grads)
