@@ -61,6 +61,15 @@ def build_argparser() -> argparse.ArgumentParser:
                         "then regresses with continued training.")
     p.add_argument("--probe-clips", type=int, default=8,
                    help="number of held-out clips in the probe batch")
+    p.add_argument("--probe-dir", type=str, default=None,
+                   help="directory of REAL held-out probe clips for "
+                        "best-checkpoint selection (e.g. the reference's "
+                        "shipped validation-split outputs -- disjoint from "
+                        "the eval clips); overrides the synthetic probe "
+                        "source. Each clip is probed at --probe-positions.")
+    p.add_argument("--probe-positions", type=float, nargs="+", default=[2.0],
+                   help="gap start times (s) per probe clip when "
+                        "--probe-dir is set")
     p.add_argument("--probe-gap-len", type=float, default=0.08,
                    help="gap length (s) of the held-out probe condition "
                         "(default: the 80 ms eval spec; raise for long-gap "
@@ -193,7 +202,35 @@ def main(argv=None) -> None:
     # logged alongside.  Probe clips never overlap the training set
     # (held-out synthetic seed, or the valid split for file corpora).
     probe_clips = None
-    if args.probe_every:
+    probe_dir_gs = None
+    if args.probe_every and args.probe_dir:
+        # Real-clip probe: each clip replicated once per gap position.
+        # Selection on real non-eval clips targets synthetic->real
+        # transfer directly (the in-domain probe can prefer checkpoints
+        # that do not transfer; measured on the round-3 refiner).
+        from ml_audio_inpainting_tpu.cli.inpaint import _collect
+        from ml_audio_inpainting_tpu.data.audio_io import load_audio
+
+        pfiles = _collect(Path(args.probe_dir))
+        pbase = np.stack([
+            load_audio(
+                f, sample_rate=cfg.data.sample_rate, max_len=cfg.data.max_len_s
+            )[0]
+            for f in pfiles
+        ])
+        reps = len(args.probe_positions)
+        probe_clips = jnp.asarray(np.repeat(pbase, reps, axis=0))
+        probe_dir_gs = np.tile(
+            np.asarray(
+                [int(t * cfg.data.sample_rate) for t in args.probe_positions]
+            ),
+            len(pfiles),
+        )
+        run.logger.info(
+            "real probe: %d clips x %d positions from %s",
+            len(pfiles), reps, args.probe_dir,
+        )
+    elif args.probe_every:
         if args.synthetic:
             probe_ds = _synthetic_cls(args)(
                 n_items=args.probe_clips,
@@ -245,7 +282,13 @@ def main(argv=None) -> None:
         gs = int(2.0 * cfg.data.sample_rate)
         if gs + gl >= probe_clips.shape[-1]:  # clip shorter than the eval spec
             gs = max(0, (probe_clips.shape[-1] - gl) // 2)
-        probe_gs = jnp.full((k,), gs, jnp.int32)
+        if probe_dir_gs is not None:
+            probe_gs = jnp.asarray(
+                np.clip(probe_dir_gs, 0, probe_clips.shape[-1] - gl - 1),
+                jnp.int32,
+            )
+        else:
+            probe_gs = jnp.full((k,), gs, jnp.int32)
         probe_gl = jnp.full((k,), gl, jnp.int32)
         probe_gapm = 1.0 - jax.vmap(
             lambda s, l: gap_mask(probe_clips.shape[-1], s, l)

@@ -219,15 +219,23 @@ def make_refiner_train_step(
 
 
 def make_refiner_probe_fn(cfg: Config, gan_model, gan_variables) -> Callable:
-    """Held-out probe under the EVAL contract (one 80 ms gap at t=2.0 s):
-    returns (refined mean gap-SDR, AR-fill mean gap-SDR) in dB."""
+    """Held-out probe under the EVAL contract (80 ms gaps): returns
+    (refined mean gap-SDR, AR-fill mean gap-SDR) in dB.
+
+    ``probe(state, clips)`` places one gap at t=2.0 s per clip (the eval
+    contract); ``probe(state, clips, gap_starts)`` takes explicit per-clip
+    start samples -- used by the real-clip probe set, where each clip is
+    replicated at several positions so 3 clips give 3xK measurements."""
     examples = make_example_fn(cfg, gan_model, gan_variables)
     sr = cfg.data.sample_rate
 
     @jax.jit
-    def probe(state: RefinerState, clips: jnp.ndarray):
+    def probe(state: RefinerState, clips: jnp.ndarray, gap_starts=None):
         B = clips.shape[0]
-        gs = jnp.full((B,), int(2.0 * sr), jnp.int32)
+        if gap_starts is None:
+            gs = jnp.full((B,), int(2.0 * sr), jnp.int32)
+        else:
+            gs = jnp.asarray(gap_starts, jnp.int32)
         gl = jnp.full((B,), int(0.08 * sr), jnp.int32)
         ex = examples(clips, gs, gl)
         out = state.apply_fn(
