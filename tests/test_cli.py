@@ -135,6 +135,36 @@ class TestTrainCLI:
         assert "gap_len_s: 0.12" in text  # config dump reflects the override
         assert "probe @ step" in text
 
+    def test_probe_dir_real_clip_selection(self, tmp_path):
+        """--probe-dir selects the best checkpoint on real clips (each
+        replicated at --probe-positions) instead of held-out synthetic."""
+        from ml_audio_inpainting_tpu.cli.train import main
+
+        probe_dir = tmp_path / "probe"
+        probe_dir.mkdir()
+        t = np.arange(16000) / 16000
+        for i in range(2):
+            sig = 0.4 * np.sin(2 * np.pi * (250 + 80 * i) * t).astype(np.float32)
+            save_audio(sig, probe_dir / f"p{i}.flac", 16000, normalize=False)
+
+        cfg_path = small_cfg_yaml(tmp_path, "cnn_blstm")
+        main(
+            [
+                "--model", "cnn_blstm", "--config", str(cfg_path),
+                "--synthetic", "4", "--steps", "4",
+                "--probe-every", "2", "--probe-patience", "5",
+                "--probe-dir", str(probe_dir),
+                "--probe-positions", "0.3", "0.6",
+                "--base-dir", str(tmp_path), "--run-name", "rp",
+            ]
+        )
+        logs = list((tmp_path / "logs").glob("*.log"))
+        text = logs[0].read_text()
+        assert "real probe: 2 clips x 2 positions" in text
+        assert "probe @ step" in text
+        best = list((tmp_path / "checkpoints").rglob("best"))
+        assert best and any(best[0].iterdir()), "best checkpoint not written"
+
     def test_gan_synthetic_short_run(self, tmp_path):
         from ml_audio_inpainting_tpu.cli.train import main
 
