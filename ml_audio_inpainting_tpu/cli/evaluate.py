@@ -40,6 +40,10 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--gap-start", type=float, default=2.0)
     p.add_argument("--gap-len", type=float, default=0.08)
     p.add_argument("--ar-order", type=int, default=512)
+    p.add_argument("--ar-context", type=int, default=4096,
+                   help="AR fit context samples per side (arinpaint.m's "
+                        "maxlen; 8192 measured best on the real-clip probe "
+                        "set, results/ar_context_sweep.json)")
     p.add_argument("--maxit", type=int, default=10)
     p.add_argument("--ar-method", choices=["lpc", "arburg"], default="lpc")
     p.add_argument("--mode", choices=["parity", "enhanced"], default="parity")

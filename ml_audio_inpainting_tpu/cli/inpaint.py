@@ -55,6 +55,10 @@ def build_argparser() -> argparse.ArgumentParser:
                    help="Griffin-Lim iterations for --phase griffinlim "
                         "(reference default 64, utils.py:330-333)")
     p.add_argument("--ar-order", type=int, default=512)
+    p.add_argument("--ar-context", type=int, default=4096,
+                   help="AR fit context samples per side (arinpaint.m's "
+                        "maxlen; 8192 measured best on the real-clip probe "
+                        "set, results/ar_context_sweep.json)")
     p.add_argument("--maxit", type=int, default=10)
     p.add_argument("--ar-method", choices=["lpc", "arburg"], default="lpc")
     p.add_argument("--batch-size", type=int, default=8)
@@ -318,7 +322,7 @@ def _build_runner(args, cfg, n_samples: int):
             return jax.vmap(
                 lambda x, mm, s, l: arinpaint(
                     x * mm, mm, s, l, order=args.ar_order, max_gap=max_gap,
-                    method=args.ar_method,
+                    context=args.ar_context, method=args.ar_method,
                 )
             )(audio, m, gs, gl)
 

@@ -221,6 +221,29 @@ class TestInpaintCLI:
         seg = audio[int(0.41 * 16000) : int(0.44 * 16000), 0]
         assert np.max(np.abs(seg)) > 0.01
 
+    def test_arinpaint_context_flag(self, tmp_path, tiny_corpus):
+        """--ar-context reaches arinpaint: different contexts give different
+        fills (results/ar_context_sweep.json's 8192 setting is reachable)."""
+        from ml_audio_inpainting_tpu.cli.inpaint import main
+
+        src = next(iter(sorted(tiny_corpus.glob("*.flac"))))
+        outs = []
+        for ctx in (1024, 4096):
+            out = tmp_path / f"ar_{ctx}.flac"
+            main(
+                [
+                    "--model", "arinpaint", "--input", str(src),
+                    "--output", str(out),
+                    "--gap-start", "0.4", "--gap-len", "0.05",
+                    "--ar-order", "64", "--ar-context", str(ctx),
+                ]
+            )
+            audio, rate, _ = read_audio(out)
+            assert rate == 16000
+            outs.append(audio[int(0.4 * 16000) : int(0.45 * 16000), 0])
+        assert np.max(np.abs(outs[0])) > 1e-4  # gap filled
+        assert not np.allclose(outs[0], outs[1])  # context changed the fit
+
 
 class TestLearnedSpainCLI:
     def test_aspain_learned_inpaint(self, tmp_path, tiny_corpus):
