@@ -41,7 +41,10 @@ def ar_extrapolate(coef: jnp.ndarray, context_tail: jnp.ndarray, order: int, ste
     return ys
 
 
-@functools.partial(jax.jit, static_argnames=("order", "context", "max_gap", "method"))
+@functools.partial(
+    jax.jit,
+    static_argnames=("order", "context", "max_gap", "method", "blend", "blend_param"),
+)
 def arinpaint(
     signal: jnp.ndarray,
     mask: jnp.ndarray,
@@ -51,6 +54,8 @@ def arinpaint(
     context: int = 4096,
     max_gap: int = 2048,
     method: str = "lpc",
+    blend: str = "cos2",
+    blend_param: float = 0.0,
 ) -> jnp.ndarray:
     """Fill one contiguous gap by bidirectional AR extrapolation.
 
@@ -85,9 +90,26 @@ def arinpaint(
     idx = jnp.arange(max_gap)
     postdiction_aligned = postdiction[jnp.clip(gap_len - 1 - idx, 0, max_gap - 1)]
 
-    # cos^2 crossfade over the actual gap length (arinpaint.m:46-50).
-    t = (jnp.pi / 2) * idx / jnp.maximum(gap_len - 1, 1)
-    w = jnp.cos(jnp.clip(t, 0, jnp.pi / 2)) ** 2
+    # Forward-weight curve w(t) over the actual gap length.  "cos2" is the
+    # reference's crossfade (arinpaint.m:46-50).  The alternatives keep BOTH
+    # predictions mixed throughout the gap (w never reaches 0/1): the fwd and
+    # bwd extrapolations are independent estimates of the same lost segment,
+    # and partial ensemble-averaging reduces error variance -- measured on
+    # the real-clip probe set (never the eval clips), a gentle ramp beats
+    # cos^2 by ~0.1 dB probe / +0.16 dB eval (results/ar_blend_sweep.json).
+    #   "linear":  w = c + (1-2c)(1-t), floor c = blend_param (0 = plain ramp)
+    #   "sigmoid": w = 1/(1+exp(k(t-1/2))), steepness k = blend_param
+    t = jnp.clip(idx / jnp.maximum(gap_len - 1, 1), 0.0, 1.0)
+    if blend == "cos2":
+        w = jnp.cos(t * (jnp.pi / 2)) ** 2
+    elif blend == "linear":
+        c = float(blend_param)
+        w = c + (1.0 - 2.0 * c) * (1.0 - t)
+    elif blend == "sigmoid":
+        k = float(blend_param) if blend_param else 2.0
+        w = jax.nn.sigmoid(-k * (t - 0.5))
+    else:
+        raise ValueError(f"unknown blend {blend!r}")
     fill = w * (prediction + premean) + (1.0 - w) * (postdiction_aligned + postmean)
 
     in_gap = idx < gap_len

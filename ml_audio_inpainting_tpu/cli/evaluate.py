@@ -44,6 +44,14 @@ def build_argparser() -> argparse.ArgumentParser:
                    help="AR fit context samples per side (arinpaint.m's "
                         "maxlen; 8192 measured best on the real-clip probe "
                         "set, results/ar_context_sweep.json)")
+    p.add_argument("--ar-blend", choices=["cos2", "linear", "sigmoid"],
+                   default="cos2",
+                   help="fwd/bwd crossfade curve for arinpaint (cos2 = "
+                        "reference parity; a gentle ramp measured best on "
+                        "the probe set, results/ar_blend_sweep.json)")
+    p.add_argument("--ar-blend-param", type=float, default=0.0,
+                   help="blend parameter: floor c for linear, steepness k "
+                        "for sigmoid (0 = family default)")
     p.add_argument("--maxit", type=int, default=10)
     p.add_argument("--ar-method", choices=["lpc", "arburg"], default="lpc")
     p.add_argument("--mode", choices=["parity", "enhanced"], default="parity")

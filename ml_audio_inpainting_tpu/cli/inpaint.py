@@ -59,6 +59,14 @@ def build_argparser() -> argparse.ArgumentParser:
                    help="AR fit context samples per side (arinpaint.m's "
                         "maxlen; 8192 measured best on the real-clip probe "
                         "set, results/ar_context_sweep.json)")
+    p.add_argument("--ar-blend", choices=["cos2", "linear", "sigmoid"],
+                   default="cos2",
+                   help="fwd/bwd crossfade curve for arinpaint (cos2 = "
+                        "reference parity; a gentle ramp measured best on "
+                        "the probe set, results/ar_blend_sweep.json)")
+    p.add_argument("--ar-blend-param", type=float, default=0.0,
+                   help="blend parameter: floor c for linear, steepness k "
+                        "for sigmoid (0 = family default)")
     p.add_argument("--maxit", type=int, default=10)
     p.add_argument("--ar-method", choices=["lpc", "arburg"], default="lpc")
     p.add_argument("--batch-size", type=int, default=8)
@@ -323,6 +331,7 @@ def _build_runner(args, cfg, n_samples: int):
                 lambda x, mm, s, l: arinpaint(
                     x * mm, mm, s, l, order=args.ar_order, max_gap=max_gap,
                     context=args.ar_context, method=args.ar_method,
+                    blend=args.ar_blend, blend_param=args.ar_blend_param,
                 )
             )(audio, m, gs, gl)
 

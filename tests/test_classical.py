@@ -293,6 +293,32 @@ class TestArInpaint:
             c_tail = np.corrcoef(tail, post[start + length - 32 : start + length])[0, 1]
             assert c_head > 0.9 and c_tail > 0.9, (c_head, c_tail)
 
+    def test_blend_families(self):
+        """The parametric blend curves (results/ar_blend_sweep.json) are
+        reachable, finite, distinct from cos2, and a pure sine still
+        reconstructs well under every family (fwd/bwd agree, so the blend
+        choice cannot hurt a stationary signal)."""
+        with jax.enable_x64():
+            t = np.arange(8192) / SR
+            sig = np.sin(2 * np.pi * 500 * t)
+            start, length = 4000, 320
+            gapped, mask = make_gap(sig, start, length)
+            outs = {}
+            for blend, param in [("cos2", 0.0), ("linear", 0.2), ("sigmoid", 2.0)]:
+                out = arinpaint(gapped, mask, jnp.asarray(start),
+                                jnp.asarray(length), order=32, context=2048,
+                                max_gap=512, blend=blend, blend_param=param)
+                sdr = float(gap_sdr(jnp.asarray(sig), out, 1.0 - mask))
+                assert sdr > 20.0, (blend, sdr)
+                outs[blend] = np.asarray(out[start : start + length])
+            assert not np.allclose(outs["cos2"], outs["linear"])
+            assert not np.allclose(outs["cos2"], outs["sigmoid"])
+            import pytest
+
+            with pytest.raises(ValueError):
+                arinpaint(gapped, mask, jnp.asarray(start), jnp.asarray(length),
+                          order=32, context=2048, max_gap=512, blend="bogus")
+
 
 class TestOLA:
     def test_windows(self):
