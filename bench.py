@@ -263,8 +263,17 @@ def main() -> None:
         make_gan_train_step,
     )
 
+    # Match the production recipe: the default config carries non-zero VGG
+    # perceptual/style lambdas and cli/train.py passes vgg19_params(), so the
+    # bench must too -- make_gan_train_step(cfg) alone silently drops both
+    # VGG terms and over-reports steps/s (round-3 review finding).
+    from ml_audio_inpainting_tpu.models.vgg import vgg19_params
+
+    use_vgg = (
+        cfg.training.lambda_vgg_perceptual > 0 or cfg.training.lambda_vgg_style > 0
+    )
     g_state, d_state = create_gan_states(cfg, jax.random.PRNGKey(0))
-    gstep = make_gan_train_step(cfg)
+    gstep = make_gan_train_step(cfg, vgg=vgg19_params() if use_vgg else None)
     for gb in (4, 16):
         if gb > batch:
             continue

@@ -246,6 +246,22 @@ def main(argv=None) -> None:
     B = len(files)
     gs = jnp.full((B,), int(args.gap_start * sr), jnp.int32)
     gl = jnp.full((B,), int(args.gap_len * sr), jnp.int32)
+    if "refiner" in args.models:
+        from ml_audio_inpainting_tpu.train.refiner_trainer import MAX_GAP
+
+        if int(args.gap_len * sr) > MAX_GAP:
+            raise SystemExit(
+                f"--models refiner supports gaps up to {MAX_GAP} samples "
+                f"({MAX_GAP / sr * 1000:.0f} ms); longer gaps would be "
+                "silently zero-filled past the head's window."
+            )
+        if args.n_gaps > 1:
+            raise SystemExit(
+                "--models refiner has no mask-driven multi-gap path; the "
+                "sequential fallback would feed the frozen GAN the other "
+                "gaps' zeros as signal (scores ~0 -- see CLAUDE.md). Use "
+                "gan/cnn_blstm for --n-gaps."
+            )
     if args.golden:
         payload = run_golden(args, cfg, files, clean)
         for tag, chk in payload["anchor_check"].items():

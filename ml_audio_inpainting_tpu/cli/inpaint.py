@@ -96,13 +96,12 @@ def main(argv=None) -> None:
     from ml_audio_inpainting_tpu.utils.config import Config, load_config
 
     args = build_argparser().parse_args(argv)
-    cfg = load_config(args.config) if args.config else Config()
     if args.model == "gan":
-        # GAN profile default (config.yaml:12-15)
-        from ml_audio_inpainting_tpu.utils.config import SpectrogramConfig
+        from ml_audio_inpainting_tpu.utils.config import gan_profile_config
 
-        if args.config is None:
-            cfg.data.spectrogram = SpectrogramConfig(n_fft=512, hop_length=128, win_length=512)
+        cfg = gan_profile_config(args.config)
+    else:
+        cfg = load_config(args.config) if args.config else Config()
 
     sr = cfg.data.sample_rate
     files = _collect(Path(args.input))
@@ -113,6 +112,16 @@ def main(argv=None) -> None:
 
     gap_start = int(args.gap_start * sr)
     gap_len = int(args.gap_len * sr)
+    if args.model == "refiner":
+        from ml_audio_inpainting_tpu.train.refiner_trainer import MAX_GAP
+
+        if gap_len > MAX_GAP:
+            raise SystemExit(
+                f"--model refiner supports gaps up to {MAX_GAP} samples "
+                f"({MAX_GAP / sr * 1000:.0f} ms); got {gap_len}. Longer "
+                "gaps would be silently zero-filled past the head's window "
+                "-- use arinpaint/janssen or the longgap GAN instead."
+            )
     n_samples = cfg.data.max_samples
 
     run_fn = _build_runner(args, cfg, n_samples)
@@ -175,18 +184,9 @@ def _build_runner(args, cfg, n_samples: int):
         from ml_audio_inpainting_tpu.train.refiner_trainer import (
             make_refiner_apply_fn,
         )
-        from ml_audio_inpainting_tpu.utils.config import (
-            Config,
-            SpectrogramConfig,
-            load_config,
-        )
+        from ml_audio_inpainting_tpu.utils.config import gan_profile_config
 
-        gan_config = getattr(args, "gan_config", None)
-        gcfg = load_config(gan_config) if gan_config else Config()
-        if gan_config is None:
-            gcfg.data.spectrogram = SpectrogramConfig(
-                n_fft=512, hop_length=128, win_length=512
-            )
+        gcfg = gan_profile_config(getattr(args, "gan_config", None))
         gan = build_generator(gcfg)
         gan_ckpt = Path(args.gan_checkpoint)
         if not gan_ckpt.exists():
@@ -221,16 +221,11 @@ def _build_runner(args, cfg, n_samples: int):
             # (CNN-profile) cfg silently mis-scores them (the round-3
             # gate-test footgun) -- assert the profile when no YAML given.
             if args.config is None:
-                import copy
-
                 from ml_audio_inpainting_tpu.utils.config import (
-                    SpectrogramConfig,
+                    gan_profile_config,
                 )
 
-                cfg = copy.deepcopy(cfg)
-                cfg.data.spectrogram = SpectrogramConfig(
-                    n_fft=512, hop_length=128, win_length=512
-                )
+                cfg = gan_profile_config(None)
             from ml_audio_inpainting_tpu.train.gan_trainer import (
                 build_generator,
                 create_gan_states,
@@ -318,6 +313,7 @@ def _build_runner(args, cfg, n_samples: int):
                 lambda x, mm, s, l: janssen_gapwise(
                     x * mm, mm, s, l, p=args.ar_order, maxit=args.maxit,
                     method=args.ar_method, max_gap=max_gap,
+                    context=args.ar_context,
                 )
             )(audio, m, gs, gl)
 

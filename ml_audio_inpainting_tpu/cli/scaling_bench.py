@@ -44,6 +44,9 @@ def build_argparser() -> argparse.ArgumentParser:
 
 
 def main(argv=None) -> None:
+    from ml_audio_inpainting_tpu.utils.platform import apply_platform_env
+
+    apply_platform_env()
     args = build_argparser().parse_args(argv)
     n_max = max(args.devices)
     for n in args.devices:
@@ -172,6 +175,7 @@ def _run(args) -> dict:
 
         per_n: dict = {}
         ref_losses = None
+        ref_n = min(args.devices)  # drift baseline: the smallest mesh run
         for n in sorted(args.devices):
             devices = jax.devices()[:n]
             mesh = make_mesh(data_parallel=n, model_parallel=1, devices=devices)
@@ -222,8 +226,8 @@ def _run(args) -> dict:
             else:
                 drift = float(np.max(np.abs(np.asarray(losses) - np.asarray(ref_losses))))
                 rel = drift / (float(np.max(np.abs(ref_losses))) + 1e-12)
-                entry["max_abs_loss_drift_vs_1dev"] = drift
-                entry["max_rel_loss_drift_vs_1dev"] = rel
+                entry[f"max_abs_loss_drift_vs_{ref_n}dev"] = drift
+                entry[f"max_rel_loss_drift_vs_{ref_n}dev"] = rel
             per_n[str(n)] = entry
             print(f"{model} n={n}: {entry}", flush=True)
         payload["models"][model] = per_n

@@ -204,31 +204,19 @@ def main(argv=None) -> None:
     probe_clips = None
     probe_dir_gs = None
     if args.probe_every and args.probe_dir:
-        # Real-clip probe: each clip replicated once per gap position.
-        # Selection on real non-eval clips targets synthetic->real
-        # transfer directly (the in-domain probe can prefer checkpoints
-        # that do not transfer; measured on the round-3 refiner).
-        from ml_audio_inpainting_tpu.cli.inpaint import _collect
-        from ml_audio_inpainting_tpu.data.audio_io import load_audio
+        # Real-clip probe: selection on real non-eval clips targets
+        # synthetic->real transfer directly (the in-domain probe can prefer
+        # checkpoints that do not transfer; measured on the round-3 refiner).
+        from ml_audio_inpainting_tpu.data.probe import load_real_probe_set
 
-        pfiles = _collect(Path(args.probe_dir))
-        pbase = np.stack([
-            load_audio(
-                f, sample_rate=cfg.data.sample_rate, max_len=cfg.data.max_len_s
-            )[0]
-            for f in pfiles
-        ])
-        reps = len(args.probe_positions)
-        probe_clips = jnp.asarray(np.repeat(pbase, reps, axis=0))
-        probe_dir_gs = np.tile(
-            np.asarray(
-                [int(t * cfg.data.sample_rate) for t in args.probe_positions]
-            ),
-            len(pfiles),
+        pclips, probe_dir_gs, n_pfiles = load_real_probe_set(
+            args.probe_dir, args.probe_positions, cfg.data.sample_rate,
+            cfg.data.max_len_s, gap_len_s=args.probe_gap_len,
         )
+        probe_clips = jnp.asarray(pclips)
         run.logger.info(
             "real probe: %d clips x %d positions from %s",
-            len(pfiles), reps, args.probe_dir,
+            n_pfiles, len(args.probe_positions), args.probe_dir,
         )
     elif args.probe_every:
         if args.synthetic:

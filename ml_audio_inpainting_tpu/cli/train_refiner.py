@@ -76,18 +76,10 @@ def main(argv=None) -> None:
         make_refiner_probe_fn,
         make_refiner_train_step,
     )
-    from ml_audio_inpainting_tpu.utils.config import (
-        Config,
-        SpectrogramConfig,
-        load_config,
-    )
+    from ml_audio_inpainting_tpu.utils.config import gan_profile_config
 
     args = build_argparser().parse_args(argv)
-    cfg = load_config(args.gan_config) if args.gan_config else Config()
-    if args.gan_config is None:
-        cfg.data.spectrogram = SpectrogramConfig(
-            n_fft=512, hop_length=128, win_length=512
-        )
+    cfg = gan_profile_config(args.gan_config)
 
     gan = build_generator(cfg)
     gan_vars = load_params_npz(args.gan_checkpoint)
@@ -100,31 +92,20 @@ def main(argv=None) -> None:
         variant=variant,
     )
     if args.probe_dir:
-        # Real-clip probe for checkpoint selection: each clip replicated
-        # once per gap position.  The in-domain (synthetic) probe selects
-        # checkpoints that do NOT transfer (measured round 3: +2.22
-        # synthetic-probe best scored +1.04 on the real eval clips, below
-        # the +2.55 AR baseline it rides on); selecting on real non-eval
-        # clips targets the transfer directly.
-        from ml_audio_inpainting_tpu.cli.inpaint import _collect
-        from ml_audio_inpainting_tpu.data.audio_io import load_audio
+        # Real-clip probe for checkpoint selection: the in-domain
+        # (synthetic) probe selects checkpoints that do NOT transfer
+        # (measured round 3: +2.22 synthetic-probe best scored +1.04 on
+        # the real eval clips, below the +2.55 AR baseline it rides on);
+        # selecting on real non-eval clips targets the transfer directly.
+        from ml_audio_inpainting_tpu.data.probe import load_real_probe_set
 
-        sr = cfg.data.sample_rate
-        files = _collect(Path(args.probe_dir))
-        base = np.stack([
-            load_audio(f, sample_rate=sr, max_len=cfg.data.max_len_s)[0]
-            for f in files
-        ])
-        reps = len(args.probe_positions)
-        probe_clips = jnp.asarray(np.repeat(base, reps, axis=0))
-        probe_gs = jnp.asarray(
-            np.tile(
-                np.asarray([int(t * sr) for t in args.probe_positions]),
-                len(files),
-            ),
-            jnp.int32,
+        pclips, pgs, n_files = load_real_probe_set(
+            args.probe_dir, args.probe_positions, cfg.data.sample_rate,
+            cfg.data.max_len_s,
         )
-        print(f"real probe: {len(files)} clips x {reps} positions")
+        probe_clips = jnp.asarray(pclips)
+        probe_gs = jnp.asarray(pgs, jnp.int32)
+        print(f"real probe: {n_files} clips x {len(args.probe_positions)} positions")
     else:
         probe_clips = jnp.asarray(
             np.stack([ds[args.synthetic + i] for i in range(args.probe_clips)])
@@ -181,7 +162,12 @@ def main(argv=None) -> None:
             if args.probe_patience and stale >= args.probe_patience:
                 print(f"early stop: {stale} probes without improvement")
                 break
-    print(f"best probe gap-SDR {best:+.3f} dB @ step {best_step}; saved {out}")
+    if args.probe_every:
+        print(f"best probe gap-SDR {best:+.3f} dB @ step {best_step}; saved {out}")
+    else:
+        # No probe gate: export the final step's weights.
+        export_params_npz(out, {"params": state.params})
+        print(f"no probe configured; saved final step {args.steps} to {out}")
 
 
 if __name__ == "__main__":

@@ -105,9 +105,9 @@ def make_example_fn(
         fill = jnp.clip(jnp.nan_to_num(fill), -4.0, 4.0)
         neural = jnp.clip(jnp.nan_to_num(neural), -4.0, 4.0)
 
-        ctx = (WINDOW - MAX_GAP) // 2
-        start = jnp.clip(gap_start - ctx, 0, S - WINDOW)
-        off = gap_start - start
+        from ml_audio_inpainting_tpu.models.refiner import window_bounds
+
+        start, off = window_bounds(gap_start, gap_len, WINDOW, MAX_GAP, S)
 
         def crop(x, st):
             return jax.lax.dynamic_slice(x, (st,), (WINDOW,))

@@ -30,6 +30,7 @@ __all__ = [
     "MeshConfig",
     "Config",
     "load_config",
+    "gan_profile_config",
     "DEFAULT_SAMPLE_RATE",
     "DEFAULT_N_FFT",
     "DEFAULT_HANN_WINDOW_SIZE",
@@ -294,3 +295,20 @@ def load_config(config_path: Union[str, Path]) -> Config:
     """Load a YAML config -- accepts both this framework's configs and the
     reference's ``config.yaml`` / ``cnn_blstm.yaml`` key layout."""
     return Config.from_yaml(config_path)
+
+
+def gan_profile_config(config_path: Optional[Union[str, Path]] = None) -> Config:
+    """``load_config(config_path)``, or -- when no YAML is given -- a default
+    :class:`Config` with the GAN STFT profile (n_fft 512 / hop 128 / win 512,
+    the reference's ``config.yaml:12-15``).
+
+    The GAN checkpoints are profile-bound: scoring them through the default
+    (CNN-profile) spectrogram silently mis-scores them.  Every CLI path that
+    builds a GAN (inpaint/evaluate runners, the refiner's frozen GAN channel,
+    ``train_refiner``) routes through this one helper so the defaulting rule
+    cannot drift between call sites."""
+    if config_path is not None:
+        return load_config(config_path)
+    cfg = Config()
+    cfg.data.spectrogram = SpectrogramConfig(n_fft=512, hop_length=128, win_length=512)
+    return cfg
