@@ -36,7 +36,10 @@ def load_real_probe_set(
     from ml_audio_inpainting_tpu.cli.inpaint import _collect
     from ml_audio_inpainting_tpu.data.audio_io import load_audio
 
-    files = _collect(Path(probe_dir))
+    probe_dir = Path(probe_dir)
+    if not probe_dir.exists():
+        raise FileNotFoundError(f"probe dir {probe_dir} does not exist")
+    files = _collect(probe_dir)
     if not files:
         raise FileNotFoundError(f"no audio files under {probe_dir}")
     base = np.stack([

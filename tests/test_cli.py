@@ -263,3 +263,28 @@ class TestLearnedSpainCLI:
         assert rate == 16000
         seg = audio[int(0.41 * 16000) : int(0.44 * 16000), 0]
         assert np.max(np.abs(seg)) > 0.01  # gap filled
+
+
+class TestRealProbeLoader:
+    def test_load_real_probe_set_clamps(self, tiny_corpus):
+        """Shared --probe-dir loader (data/probe.py): replication order is
+        clip-major, and positions past a short clip clamp so the gap fits."""
+        from ml_audio_inpainting_tpu.data.probe import load_real_probe_set
+
+        clips, starts, n_files = load_real_probe_set(
+            tiny_corpus, positions=[0.25, 5.0], sample_rate=16000,
+            max_len_s=1.0, gap_len_s=0.08,
+        )
+        assert n_files == 3
+        assert clips.shape == (6, 16000)
+        assert starts.dtype == np.int32
+        # position 0.25 s passes through; 5 s clamps inside the 1 s clip
+        gl = int(0.08 * 16000)
+        assert starts[0] == int(0.25 * 16000)
+        assert starts[1] == 16000 - gl - 1
+        assert np.all(starts + gl < clips.shape[-1])
+        # clip-major replication: rows 0,1 are the same clip at 2 positions
+        assert np.allclose(clips[0], clips[1])
+        assert not np.allclose(clips[0], clips[2])
+        with pytest.raises(FileNotFoundError):
+            load_real_probe_set(tiny_corpus / "nope", [1.0], 16000, 1.0)
