@@ -44,6 +44,40 @@ class TestPallasLSTM:
         g2 = jax.grad(lambda x, w: jnp.sum(_scan_reference(x, w, False) ** 2))(xw, whh)
         np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), atol=1e-5)
 
+    def test_fused_bidirectional_scan_matches_per_direction(self):
+        """bilstm_fused_scan (one scan, direction-stacked carries) must be
+        numerically identical to two lstm_scan calls -- values AND grads
+        (it is the default non-Pallas BiLSTM path; checkpoint outputs and
+        torch-port parity depend on exactness)."""
+        from ml_audio_inpainting_tpu.ops.lstm import bilstm_fused_scan, lstm_scan
+
+        rng = np.random.default_rng(2)
+        B, T, H = 3, 23, 16
+        xw_f = jnp.asarray(rng.standard_normal((B, T, 4 * H)), jnp.float32)
+        xw_b = jnp.asarray(rng.standard_normal((B, T, 4 * H)), jnp.float32)
+        w_f = jnp.asarray(rng.standard_normal((H, 4 * H)) * 0.1, jnp.float32)
+        w_b = jnp.asarray(rng.standard_normal((H, 4 * H)) * 0.1, jnp.float32)
+        z = jnp.zeros((B, H), jnp.float32)
+        hs_f, hs_b = bilstm_fused_scan(xw_f, xw_b, w_f, w_b)
+        ref_f = lstm_scan(xw_f, w_f, z, z, reverse=False)
+        ref_b = lstm_scan(xw_b, w_b, z, z, reverse=True)
+        np.testing.assert_allclose(np.asarray(hs_f), np.asarray(ref_f), atol=1e-6)
+        np.testing.assert_allclose(np.asarray(hs_b), np.asarray(ref_b), atol=1e-6)
+
+        def loss_fused(args):
+            f, b = bilstm_fused_scan(xw_f, xw_b, args[0], args[1])
+            return jnp.sum(f ** 2) + jnp.sum(b ** 3)
+
+        def loss_ref(args):
+            f = lstm_scan(xw_f, args[0], z, z, reverse=False)
+            b = lstm_scan(xw_b, args[1], z, z, reverse=True)
+            return jnp.sum(f ** 2) + jnp.sum(b ** 3)
+
+        g1 = jax.grad(loss_fused)((w_f, w_b))
+        g2 = jax.grad(loss_ref)((w_f, w_b))
+        for a, b in zip(g1, g2):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
+
 
 class TestLegacyModels:
     def test_stacked_blstm_shapes(self):
