@@ -77,6 +77,10 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--probe-patience", type=int, default=0,
                    help="stop after P consecutive probes without a new best "
                         "(0 = never stop early)")
+    p.add_argument("--train-dtype", choices=["f32", "bf16"], default="f32",
+                   help="GAN step compute precision: bf16 runs the G/D/VGG "
+                        "conv stacks in bfloat16 with f32 master weights and "
+                        "f32 loss reductions (mixed precision)")
     return p
 
 
@@ -322,6 +326,11 @@ def main(argv=None) -> None:
     ckpt_every = cfg.logging.checkpoint_interval * steps_per_epoch
 
     if args.model == "cnn_blstm":
+        if args.train_dtype != "f32":
+            # The CNN step is latency-bound on the BiLSTM scan
+            # (results/README.md MFU notes); bf16 compute is wired for the
+            # MXU-bound GAN step only.
+            raise SystemExit("--train-dtype bf16 is supported for --model gan only")
         from ml_audio_inpainting_tpu.train.cnn_trainer import (
             create_cnn_state,
             make_cnn_train_step,
@@ -391,7 +400,8 @@ def main(argv=None) -> None:
             cfg.training.lambda_vgg_perceptual > 0 or cfg.training.lambda_vgg_style > 0
         )
         vgg = vgg19_params() if use_vgg else None
-        step_fn = make_gan_train_step(cfg, vgg=vgg)
+        compute_dtype = jnp.bfloat16 if args.train_dtype == "bf16" else None
+        step_fn = make_gan_train_step(cfg, vgg=vgg, compute_dtype=compute_dtype)
         g_sh = state_shardings(g_state, mesh)
         d_sh = state_shardings(d_state, mesh)
         step_fn = jax.jit(

@@ -187,12 +187,21 @@ def vgg_perceptual_style_losses(
     gen = model.apply(variables, preprocess_for_vgg(generated, is_generated=True))
     tgt = model.apply(variables, preprocess_for_vgg(target, is_generated=False))
 
+    # The conv stack may run in reduced precision (mixed-precision training
+    # casts the variables/inputs to bf16); the loss reductions sum over
+    # ~1e6 elements, so accumulate them in f32 regardless of feature dtype.
+    f32 = lambda a: a.astype(jnp.float32)  # noqa: E731
     perceptual = jnp.mean(
-        jnp.stack([jnp.mean(jnp.abs(gen[i] - tgt[i])) for i in perceptual_layers])
+        jnp.stack(
+            [jnp.mean(jnp.abs(f32(gen[i]) - f32(tgt[i]))) for i in perceptual_layers]
+        )
     )
     style = jnp.mean(
         jnp.stack(
-            [jnp.mean(jnp.abs(_gram(gen[i]) - _gram(tgt[i]))) for i in style_layers]
+            [
+                jnp.mean(jnp.abs(_gram(f32(gen[i])) - _gram(f32(tgt[i]))))
+                for i in style_layers
+            ]
         )
     )
     return perceptual, style

@@ -115,15 +115,36 @@ def _gan_feature_fn(cfg: Config):
     return fn
 
 
+def _cast_f32_leaves(tree, dtype):
+    """Cast every f32 (or, for restoring, reduced-precision) leaf to ``dtype``."""
+    return jax.tree_util.tree_map(
+        lambda p: p.astype(dtype)
+        if hasattr(p, "dtype") and jnp.issubdtype(p.dtype, jnp.floating)
+        else p,
+        tree,
+    )
+
+
 def make_gan_train_step(
     cfg: Config,
     vgg: Optional[Tuple[VGG19Features, Any]] = None,
+    compute_dtype=None,
 ) -> Callable:
     """Build the fused two-optimizer step.
 
     ``vgg``: ``(model, variables)`` from :func:`vgg19_params`; pass None to
     drop the VGG terms (reference behavior when both lambdas are 0,
     ``train.py:227-228``).
+
+    ``compute_dtype``: optional mixed precision (``jnp.bfloat16``).  Master
+    params and the Adam state stay f32; the G/D/VGG conv stacks — where the
+    step's FLOPs and activation HBM live — run in ``compute_dtype`` by
+    casting params + network inputs inside the loss functions (the cast is
+    differentiated, so gradients arrive f32).  Loss reductions stay f32:
+    the D logits and generator output are cast back up before any loss
+    math, and :func:`vgg_perceptual_style_losses` accumulates f32
+    internally.  BatchNorm/spectral-norm statistics are stored f32 and
+    round-trip through ``compute_dtype`` once per step.
     """
     feat = _gan_feature_fn(cfg)
     t = cfg.training
@@ -138,6 +159,19 @@ def make_gan_train_step(
     use_vgg = vgg is not None and (t.lambda_vgg_perceptual > 0 or t.lambda_vgg_style > 0)
     if use_vgg:
         vgg_model, vgg_vars = vgg
+        if compute_dtype is not None:
+            vgg_vars = _cast_f32_leaves(vgg_vars, compute_dtype)
+
+    cast = (
+        (lambda tr: _cast_f32_leaves(tr, compute_dtype))
+        if compute_dtype is not None
+        else (lambda tr: tr)
+    )
+    restore = (
+        (lambda tr: _cast_f32_leaves(tr, jnp.float32))
+        if compute_dtype is not None
+        else (lambda tr: tr)
+    )
 
     @jax.jit
     def step(g_state: GANState, d_state: GANState, audio: jnp.ndarray, key: jax.Array):
@@ -145,12 +179,13 @@ def make_gan_train_step(
         orig = batch["original_magnitude"]
         impaired = batch["impaired_magnitude"]
         mask = batch["mask"]
+        orig_c, impaired_c, mask_c = cast(orig), cast(impaired), cast(mask)
 
         # --- Discriminator step (train.py:347-363) ---
         fake_detached, g_updates = g_state.apply_fn(
-            {"params": g_state.params, "batch_stats": g_state.batch_stats},
-            impaired,
-            mask,
+            {"params": cast(g_state.params), "batch_stats": cast(g_state.batch_stats)},
+            impaired_c,
+            mask_c,
             train=True,
             mutable=["batch_stats"],
         )
@@ -158,53 +193,62 @@ def make_gan_train_step(
 
         def d_loss_fn(d_params):
             d_real, upd1 = d_state.apply_fn(
-                {"params": d_params, "batch_stats": d_state.batch_stats},
-                orig,
+                {"params": cast(d_params), "batch_stats": cast(d_state.batch_stats)},
+                orig_c,
                 train=True,
                 mutable=["batch_stats"],
             )
             d_fake, upd2 = d_state.apply_fn(
-                {"params": d_params, "batch_stats": upd1["batch_stats"]},
+                {"params": cast(d_params), "batch_stats": upd1["batch_stats"]},
                 fake_detached,
                 train=True,
                 mutable=["batch_stats"],
             )
-            losses = discriminator_loss(d_real, d_fake)
+            losses = discriminator_loss(
+                d_real.astype(jnp.float32), d_fake.astype(jnp.float32)
+            )
             return losses["d_total"], (upd2, losses)
 
         (d_total, (d_upd, d_losses)), d_grads = jax.value_and_grad(
             d_loss_fn, has_aux=True
         )(d_state.params)
         d_state = d_state.apply_gradients(grads=d_grads)
-        d_state = d_state.replace(batch_stats=d_upd["batch_stats"])
+        d_state = d_state.replace(batch_stats=restore(d_upd["batch_stats"]))
 
         # --- Generator step (train.py:365-378, with the no_grad defect fixed) ---
         def g_loss_fn(g_params):
             fake, g_upd = g_state.apply_fn(
-                {"params": g_params, "batch_stats": g_state.batch_stats},
-                impaired,
-                mask,
+                {"params": cast(g_params), "batch_stats": cast(g_state.batch_stats)},
+                impaired_c,
+                mask_c,
                 train=True,
                 mutable=["batch_stats"],
             )
             d_fake_logits = d_state.apply_fn(
-                {"params": d_state.params, "batch_stats": d_state.batch_stats},
+                {"params": cast(d_state.params), "batch_stats": cast(d_state.batch_stats)},
                 fake,
                 train=False,
             )
             vgg_losses = (
-                vgg_perceptual_style_losses(vgg_model, vgg_vars, fake, orig)
+                vgg_perceptual_style_losses(vgg_model, vgg_vars, fake, cast(orig))
                 if use_vgg
                 else None
             )
-            losses = generator_losses(fake, orig, mask, d_fake_logits, lambdas, vgg_losses)
+            losses = generator_losses(
+                fake.astype(jnp.float32),
+                orig,
+                mask,
+                d_fake_logits.astype(jnp.float32),
+                lambdas,
+                vgg_losses,
+            )
             return losses["g_total"], (g_upd, losses)
 
         (g_total, (g_upd, g_losses)), g_grads = jax.value_and_grad(
             g_loss_fn, has_aux=True
         )(g_state.params)
         g_state = g_state.apply_gradients(grads=g_grads)
-        g_state = g_state.replace(batch_stats=g_upd["batch_stats"])
+        g_state = g_state.replace(batch_stats=restore(g_upd["batch_stats"]))
 
         metrics = {**{k: v for k, v in g_losses.items()}, **d_losses}
         return g_state, d_state, metrics
