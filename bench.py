@@ -272,45 +272,49 @@ def main() -> None:
     use_vgg = (
         cfg.training.lambda_vgg_perceptual > 0 or cfg.training.lambda_vgg_style > 0
     )
-    g_state, d_state = create_gan_states(cfg, jax.random.PRNGKey(0))
-    gstep = make_gan_train_step(cfg, vgg=vgg19_params() if use_vgg else None)
-    for gb in (4, 16):
-        if gb > batch:
-            continue
-        gaudio = audio[:gb]
+    vgg_pack = vgg19_params() if use_vgg else None
+    # f32 at the quality batch and the sweet spot, then bf16 mixed precision
+    # (--train-dtype bf16) at the same batches to record the MXU/HBM win.
+    for dtype_tag, compute_dtype in (("", None), ("_bf16", jnp.bfloat16)):
+        g_state, d_state = create_gan_states(cfg, jax.random.PRNGKey(0))
+        gstep = make_gan_train_step(cfg, vgg=vgg_pack, compute_dtype=compute_dtype)
+        for gb in (4, 16):
+            if gb > batch:
+                continue
+            gaudio = audio[:gb]
 
-        def one_gan_step():
-            nonlocal g_state, d_state
-            g_state, d_state, metrics = gstep(
-                g_state, d_state, gaudio, jax.random.PRNGKey(0)
-            )
-            return metrics["g_total"]
-
-        dt = _measure(one_gan_step, iters=5)
-        emit(f"gan_train_steps_per_sec_b{gb}", 1.0 / dt, "steps/s")
-        emit(
-            f"gan_train_audio_seconds_per_sec_b{gb}",
-            gb * clip_s / dt,
-            "s_audio/s/chip",
-        )
-        try:
-            compiled = (
-                jax.jit(gstep)
-                .lower(g_state, d_state, gaudio, jax.random.PRNGKey(0))
-                .compile()
-            )
-            ca = compiled.cost_analysis()
-            ca = ca[0] if isinstance(ca, (list, tuple)) else ca
-            flops = float(ca.get("flops", 0.0)) if ca else 0.0
-            peak = PEAK_BF16_FLOPS.get(device_kind)
-            if flops > 0 and peak:
-                emit(
-                    f"gan_train_mfu_pct_b{gb}",
-                    100.0 * flops / dt / peak,
-                    "% of bf16 peak",
+            def one_gan_step():
+                nonlocal g_state, d_state
+                g_state, d_state, metrics = gstep(
+                    g_state, d_state, gaudio, jax.random.PRNGKey(0)
                 )
-        except Exception:
-            pass
+                return metrics["g_total"]
+
+            dt = _measure(one_gan_step, iters=5)
+            emit(f"gan_train_steps_per_sec_b{gb}{dtype_tag}", 1.0 / dt, "steps/s")
+            emit(
+                f"gan_train_audio_seconds_per_sec_b{gb}{dtype_tag}",
+                gb * clip_s / dt,
+                "s_audio/s/chip",
+            )
+            try:
+                compiled = (
+                    jax.jit(gstep)
+                    .lower(g_state, d_state, gaudio, jax.random.PRNGKey(0))
+                    .compile()
+                )
+                ca = compiled.cost_analysis()
+                ca = ca[0] if isinstance(ca, (list, tuple)) else ca
+                flops = float(ca.get("flops", 0.0)) if ca else 0.0
+                peak = PEAK_BF16_FLOPS.get(device_kind)
+                if flops > 0 and peak:
+                    emit(
+                        f"gan_train_mfu_pct_b{gb}{dtype_tag}",
+                        100.0 * flops / dt / peak,
+                        "% of bf16 peak",
+                    )
+            except Exception:
+                pass
 
 
 if __name__ == "__main__":
