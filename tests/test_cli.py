@@ -173,6 +173,9 @@ class TestTrainCLI:
             [
                 "--model", "gan", "--config", str(cfg_path),
                 "--synthetic", "4", "--steps", "2",
+                # bf16 here covers the --train-dtype CLI plumbing; the
+                # f32/bf16 step equivalence itself is pinned in test_gan.py.
+                "--train-dtype", "bf16",
                 "--base-dir", str(tmp_path), "--run-name", "g",
             ]
         )
