@@ -30,6 +30,8 @@ CNN_EXPECTED = [6.044, 1.294]  # results/cnn_blstm_formant_v2_generalization.jso
 #: longgap checkpoint @ 500 ms (recorded 2026-08-17, CPU == TPU; the
 #: 9-clip mean is the sweep table's +1.20)
 LONGGAP_EXPECTED = [0.905, 1.447]
+#: real-probe-selected checkpoint (results/gan_formant_v2_rp_generalization.json)
+RP_EXPECTED = [4.662, 2.371]
 TOL = 0.05
 
 
@@ -91,6 +93,23 @@ def test_cnn_headline_checkpoint(tmp_path, clip_dir):
     got = data["results"]["cnn_blstm"]["gap_sdr_db"]
     for g, e in zip(got, CNN_EXPECTED):
         assert abs(g - e) < TOL, (got, CNN_EXPECTED)
+
+
+def test_gan_real_probe_checkpoint(tmp_path, clip_dir):
+    """The round-3 real-probe-selected checkpoint (+4.02 claim)."""
+    data = _run_evaluate(
+        tmp_path, clip_dir,
+        [
+            "--models", "gan",
+            "--config", str(REPO / "configs/gan.yaml"),
+            "--checkpoint",
+            str(REPO / "results/checkpoints/gan_formant_v2_rp_r3.npz"),
+            "--mode", "enhanced",
+        ],
+    )
+    got = data["results"]["gan"]["gap_sdr_db"]
+    for g, e in zip(got, RP_EXPECTED):
+        assert abs(g - e) < TOL, (got, RP_EXPECTED)
 
 
 def test_gan_longgap_checkpoint(tmp_path, clip_dir):
