@@ -32,6 +32,10 @@ CNN_EXPECTED = [6.044, 1.294]  # results/cnn_blstm_formant_v2_generalization.jso
 LONGGAP_EXPECTED = [0.905, 1.447]
 #: real-probe-selected checkpoint (results/gan_formant_v2_rp_generalization.json)
 RP_EXPECTED = [4.662, 2.371]
+#: committed refiner head (results/refine_analysis.json study artifact — an
+#: in-domain head that does NOT transfer to real speech; this gate pins
+#: artifact + inference-path stability, not quality; recorded 2026-08-17 CPU)
+REFINER_EXPECTED = [-0.351, -0.406]
 TOL = 0.05
 
 
@@ -110,6 +114,22 @@ def test_gan_real_probe_checkpoint(tmp_path, clip_dir):
     got = data["results"]["gan"]["gap_sdr_db"]
     for g, e in zip(got, RP_EXPECTED):
         assert abs(g - e) < TOL, (got, RP_EXPECTED)
+
+
+def test_refiner_checkpoint_drift_gate(tmp_path, clip_dir):
+    """Drift gate for the committed refiner study artifact (NOT a quality
+    claim — see results/refine_analysis.json: the head is in-domain-only)."""
+    data = _run_evaluate(
+        tmp_path, clip_dir,
+        [
+            "--models", "refiner",
+            "--checkpoint",
+            str(REPO / "results/checkpoints/refiner_formant_v2_r3.npz"),
+        ],
+    )
+    got = data["results"]["refiner"]["gap_sdr_db"]
+    for g, e in zip(got, REFINER_EXPECTED):
+        assert abs(g - e) < TOL, (got, REFINER_EXPECTED)
 
 
 def test_gan_longgap_checkpoint(tmp_path, clip_dir):
