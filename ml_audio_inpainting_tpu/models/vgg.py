@@ -162,8 +162,11 @@ def preprocess_for_vgg(
     x = jnp.repeat(x, 3, axis=-1)
     x = _resize_shorter_side(x, resize)
     x = _center_crop(x, crop)
-    mean = jnp.asarray(IMAGENET_MEAN)
-    std = jnp.asarray(IMAGENET_STD)
+    # Follow the input dtype: f32 constants would silently promote a
+    # reduced-precision (mixed-precision training) input back to f32 and
+    # with it the whole downstream conv stack.
+    mean = jnp.asarray(IMAGENET_MEAN, dtype=x.dtype)
+    std = jnp.asarray(IMAGENET_STD, dtype=x.dtype)
     return (x - mean) / std
 
 

@@ -179,6 +179,15 @@ class TestGANTraining:
             assert np.isfinite(float(metrics["d_total"]))
         assert g_losses[-1] < g_losses[0], g_losses
 
+    def test_reduced_precision_dtype_preserved(self):
+        """preprocess_for_vgg must not promote a bf16 input back to f32 (the
+        ImageNet mean/std constants follow the input dtype) — otherwise the
+        whole VGG stack silently runs f32 under mixed precision."""
+        x = jnp.ones((1, 64, 64), jnp.bfloat16)
+        assert preprocess_for_vgg(x, is_generated=True).dtype == jnp.bfloat16
+        x32 = jnp.ones((1, 64, 64), jnp.float32)
+        assert preprocess_for_vgg(x32, is_generated=False).dtype == jnp.float32
+
     def test_bf16_mixed_precision_step(self, speech_like):
         """compute_dtype=bf16: master weights/opt state stay f32, losses are
         finite and track the f32 step at step 1, and repeated steps learn."""
