@@ -55,6 +55,8 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--maxit", type=int, default=10)
     p.add_argument("--ar-method", choices=["lpc", "arburg"], default="lpc")
     p.add_argument("--mode", choices=["parity", "enhanced"], default="parity")
+    p.add_argument("--infer-dtype", choices=["f32", "bf16"], default="f32",
+                   help="GAN generator serving precision (see cli/inpaint.py)")
     p.add_argument("--phase", choices=["oracle", "impaired", "extrapolate", "griffinlim"],
                    default="oracle",
                    help="phase regime for neural reconstruction (see "
