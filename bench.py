@@ -317,5 +317,40 @@ def main() -> None:
                 pass
 
 
+def _watchdog(seconds: int) -> None:
+    """Fail loudly instead of hanging: the axon remote-compile tunnel can go
+    down for hours (connection refused / indefinite hangs at first jit —
+    CLAUDE.md gotchas), which would otherwise stall the harness forever.
+    On timeout, emit a canonical-format JSON line with value 0 and a note so
+    the capture records the outage instead of nothing."""
+    import signal
+
+    def on_alarm(signum, frame):
+        print(
+            json.dumps(
+                {
+                    "metric": "audio_seconds_inpainted_per_sec_per_chip",
+                    "value": 0,
+                    "unit": "s_audio/s/chip",
+                    "vs_baseline": 0,
+                    "note": (
+                        f"bench watchdog fired after {seconds}s: device "
+                        "backend unreachable (axon tunnel outage); see "
+                        "results/bench_all_tpu.jsonl for healthy captures"
+                    ),
+                }
+            ),
+            flush=True,
+        )
+        raise SystemExit(2)
+
+    signal.signal(signal.SIGALRM, on_alarm)
+    signal.alarm(seconds)
+
+
 if __name__ == "__main__":
+    # --all runs many configs (several compiles); the canonical run is one
+    # compile + 10 repeats.  Generous bounds: first TPU compile alone can
+    # take minutes through the remote-compile tunnel.
+    _watchdog(3600 if "--all" in sys.argv else 1800)
     main()
