@@ -268,6 +268,20 @@ class TestLearnedSpainCLI:
         assert np.max(np.abs(seg)) > 0.01  # gap filled
 
 
+class TestInferDtype:
+    def test_bf16_rejected_for_non_gan(self, tmp_path, tiny_corpus):
+        """--infer-dtype bf16 is a GAN-generator feature; other models must
+        refuse loudly rather than silently serve f32."""
+        from ml_audio_inpainting_tpu.cli.inpaint import main
+
+        clip = next(tiny_corpus.rglob("*.flac"))
+        with pytest.raises(SystemExit, match="gan only"):
+            main([
+                "--model", "janssen", "--infer-dtype", "bf16",
+                "--input", str(clip), "--output", str(tmp_path / "o.flac"),
+            ])
+
+
 class TestRealProbeLoader:
     def test_load_real_probe_set_clamps(self, tiny_corpus):
         """Shared --probe-dir loader (data/probe.py): replication order is
