@@ -321,11 +321,14 @@ def _watchdog(seconds: int) -> None:
     """Fail loudly instead of hanging: the axon remote-compile tunnel can go
     down for hours (connection refused / indefinite hangs at first jit —
     CLAUDE.md gotchas), which would otherwise stall the harness forever.
-    On timeout, emit a canonical-format JSON line with value 0 and a note so
-    the capture records the outage instead of nothing."""
-    import signal
+    A daemon timer thread (NOT a signal handler: Python-level handlers only
+    run at bytecode boundaries, and the hang sits inside a blocking C++
+    PJRT call that never returns to the eval loop) prints a canonical-format
+    JSON line with value 0 and a note, then hard-exits."""
+    import os
+    import threading
 
-    def on_alarm(signum, frame):
+    def on_timeout():
         print(
             json.dumps(
                 {
@@ -342,10 +345,11 @@ def _watchdog(seconds: int) -> None:
             ),
             flush=True,
         )
-        raise SystemExit(2)
+        os._exit(2)
 
-    signal.signal(signal.SIGALRM, on_alarm)
-    signal.alarm(seconds)
+    t = threading.Timer(seconds, on_timeout)
+    t.daemon = True
+    t.start()
 
 
 if __name__ == "__main__":

@@ -322,7 +322,10 @@ def main(argv=None) -> None:
             if model_name == "gan":
                 mask_fn = make_gan_inpaint_mask_fn(
                     rcfg, runner.model, mode=args.mode,
-                    phase=args.phase, gl_iters=args.gl_iters)
+                    phase=args.phase, gl_iters=args.gl_iters,
+                    compute_dtype=(
+                        jnp.bfloat16 if args.infer_dtype == "bf16" else None
+                    ))
             else:
                 mask_fn = make_cnn_inpaint_mask_fn(
                     rcfg, runner.model,

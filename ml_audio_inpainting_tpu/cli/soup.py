@@ -58,6 +58,11 @@ def soup_params(trees, weights=None):
         weights = [1.0 / n] * n
     if len(weights) != n:
         raise ValueError(f"{len(weights)} weights for {n} inputs")
+    if any(x < 0 for x in weights):
+        # The batch_stats-averaging argument in the module docstring only
+        # holds for convex combinations (extrapolated BN variances can go
+        # negative -> NaN at inference).
+        raise ValueError("weights must be non-negative (convex soup)")
     total = float(sum(weights))
     if total <= 0:
         raise ValueError("weights must sum to a positive value")

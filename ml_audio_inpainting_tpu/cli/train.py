@@ -131,6 +131,12 @@ def main(argv=None) -> None:
     from ml_audio_inpainting_tpu.utils.run_logging import RunContext
 
     args = build_argparser().parse_args(argv)
+    if args.model != "gan" and args.train_dtype != "f32":
+        # Fail before any heavy work (corpus synthesis, prefetch workers,
+        # run-dir creation). The CNN step is latency-bound on the BiLSTM
+        # scan (results/README.md MFU notes); bf16 compute is wired for the
+        # MXU-bound GAN step only.
+        raise SystemExit("--train-dtype bf16 is supported for --model gan only")
     cfg = load_config(args.config) if args.config else Config()
     if args.epochs is not None:
         cfg.training.epochs = args.epochs
@@ -326,11 +332,6 @@ def main(argv=None) -> None:
     ckpt_every = cfg.logging.checkpoint_interval * steps_per_epoch
 
     if args.model == "cnn_blstm":
-        if args.train_dtype != "f32":
-            # The CNN step is latency-bound on the BiLSTM scan
-            # (results/README.md MFU notes); bf16 compute is wired for the
-            # MXU-bound GAN step only.
-            raise SystemExit("--train-dtype bf16 is supported for --model gan only")
         from ml_audio_inpainting_tpu.train.cnn_trainer import (
             create_cnn_state,
             make_cnn_train_step,

@@ -202,13 +202,16 @@ def make_gan_inpaint_fn(
 
 def make_gan_inpaint_mask_fn(
     cfg: Config, generator, mode: str = "enhanced",
-    phase: str = "oracle", gl_iters: int = 64,
+    phase: str = "oracle", gl_iters: int = 64, compute_dtype=None,
 ) -> Callable:
     """Mask-driven GAN inference: ``fn(variables, audio, sample_mask) ->
     (restored, spec)`` with an ARBITRARY 1=valid time-domain mask -- all
     gaps (IRMAS multi-gap condition) reconstructed in ONE forward pass,
     the frame mask being the exact multi-gap generalization of the
-    reference's floor/ceil rule (``frame_mask_from_sample_mask``)."""
+    reference's floor/ceil rule (``frame_mask_from_sample_mask``).
+
+    ``compute_dtype``: same semantics as :func:`make_gan_inpaint_fn` --
+    reduced-precision generator conv stack, DSP stays f32."""
     spec_cfg = cfg.data.spectrogram
     if mode not in ("parity", "enhanced"):
         raise ValueError(f"mode must be 'parity' or 'enhanced', got {mode!r}")
@@ -234,7 +237,21 @@ def make_gan_inpaint_mask_fn(
         fmask = gap_ops.frame_mask_from_sample_mask(
             sample_mask, F, N, spec_cfg.hop_length, rule="any"
         )
-        generated = generator.apply(variables, log_impaired, fmask, train=False)
+        if compute_dtype is not None:
+            cast_vars = jax.tree_util.tree_map(
+                lambda p: p.astype(compute_dtype)
+                if hasattr(p, "dtype") and p.dtype == jnp.float32
+                else p,
+                variables,
+            )
+            generated = generator.apply(
+                cast_vars,
+                log_impaired.astype(compute_dtype),
+                fmask.astype(compute_dtype),
+                train=False,
+            ).astype(jnp.float32)
+        else:
+            generated = generator.apply(variables, log_impaired, fmask, train=False)
         if mode == "parity":
             out_mag = generated
         else:

@@ -143,8 +143,15 @@ def make_gan_train_step(
     differentiated, so gradients arrive f32).  Loss reductions stay f32:
     the D logits and generator output are cast back up before any loss
     math, and :func:`vgg_perceptual_style_losses` accumulates f32
-    internally.  BatchNorm/spectral-norm statistics are stored f32 and
-    round-trip through ``compute_dtype`` once per step.
+    internally.  State precision: the generator's BatchNorm statistics are
+    NOT cast — in train mode the forward uses batch statistics (stays
+    ``compute_dtype``) while the running-average update then promotes to
+    f32, so the EMA accumulates at full precision (a bf16 EMA with
+    momentum 0.99 rounds its increment to zero once within ~20% of the
+    mean and freezes).  The discriminator's spectral-norm power-iteration
+    vectors ARE cast (power iteration is self-correcting, and an f32 sigma
+    would promote ``kernel / sigma`` — and with it the whole D stack —
+    back to f32).
     """
     feat = _gan_feature_fn(cfg)
     t = cfg.training
@@ -182,8 +189,9 @@ def make_gan_train_step(
         orig_c, impaired_c, mask_c = cast(orig), cast(impaired), cast(mask)
 
         # --- Discriminator step (train.py:347-363) ---
+        # G batch_stats deliberately NOT cast (see docstring: f32 EMA).
         fake_detached, g_updates = g_state.apply_fn(
-            {"params": cast(g_state.params), "batch_stats": cast(g_state.batch_stats)},
+            {"params": cast(g_state.params), "batch_stats": g_state.batch_stats},
             impaired_c,
             mask_c,
             train=True,
@@ -218,7 +226,7 @@ def make_gan_train_step(
         # --- Generator step (train.py:365-378, with the no_grad defect fixed) ---
         def g_loss_fn(g_params):
             fake, g_upd = g_state.apply_fn(
-                {"params": cast(g_params), "batch_stats": cast(g_state.batch_stats)},
+                {"params": cast(g_params), "batch_stats": g_state.batch_stats},
                 impaired_c,
                 mask_c,
                 train=True,
@@ -230,7 +238,7 @@ def make_gan_train_step(
                 train=False,
             )
             vgg_losses = (
-                vgg_perceptual_style_losses(vgg_model, vgg_vars, fake, cast(orig))
+                vgg_perceptual_style_losses(vgg_model, vgg_vars, fake, orig_c)
                 if use_vgg
                 else None
             )

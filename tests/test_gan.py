@@ -196,7 +196,7 @@ class TestGANTraining:
 
         g32, d32 = create_gan_states(cfg, jax.random.PRNGKey(0))
         step32 = make_gan_train_step(cfg)
-        _, _, m32 = step32(g32, d32, audio, jax.random.PRNGKey(0))
+        g32_1, _, m32 = step32(g32, d32, audio, jax.random.PRNGKey(0))
 
         g16, d16 = create_gan_states(cfg, jax.random.PRNGKey(0))
         step16 = make_gan_train_step(cfg, compute_dtype=jnp.bfloat16)
@@ -211,6 +211,17 @@ class TestGANTraining:
                 assert abs(losses[0] - float(m32["g_total"])) < 0.05 * abs(
                     float(m32["g_total"])
                 ), (losses[0], float(m32["g_total"]))
+                # The BatchNorm EMA accumulates in f32 (the G stats are
+                # deliberately not cast): after one identical-stream step
+                # the bf16 run's running stats match the f32 run's up to
+                # bf16 forward noise. A bf16 EMA would diverge/freeze.
+                for a, b in zip(
+                    jax.tree_util.tree_leaves(g16.batch_stats),
+                    jax.tree_util.tree_leaves(g32_1.batch_stats),
+                ):
+                    np.testing.assert_allclose(
+                        np.asarray(a), np.asarray(b), rtol=2e-2, atol=2e-3
+                    )
         assert losses[-1] < losses[0], losses
 
         # Master state stays f32 end to end (params, opt state, batch stats).
@@ -219,6 +230,21 @@ class TestGANTraining:
         ):
             if hasattr(leaf, "dtype") and jnp.issubdtype(leaf.dtype, jnp.floating):
                 assert leaf.dtype == jnp.float32, leaf.dtype
+
+        # The BatchNorm EMA must accumulate at full precision (the G stats
+        # are deliberately not cast): after 12 identical-stream steps the
+        # bf16 run's running stats track the f32 run's closely. A bf16 EMA
+        # would freeze (increment rounds to zero at momentum 0.99).
+        g32_12, d32_12 = create_gan_states(cfg, jax.random.PRNGKey(0))
+        for i in range(12):
+            g32_12, d32_12, _ = step32(g32_12, d32_12, audio, jax.random.PRNGKey(i))
+        for a, b in zip(
+            jax.tree_util.tree_leaves(g16.batch_stats),
+            jax.tree_util.tree_leaves(g32_12.batch_stats),
+        ):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=0.05, atol=0.05
+            )
 
     def test_eval_step(self, speech_like):
         cfg = tiny_gan_config()

@@ -34,6 +34,12 @@ class TestSoupParams:
         with pytest.raises(ValueError, match="structure"):
             soup_params([_tree(1.0), other])
 
+    def test_negative_weight_rejected(self):
+        """Extrapolated (non-convex) soups can produce negative BN variances
+        -> NaNs at inference; refuse them."""
+        with pytest.raises(ValueError, match="non-negative"):
+            soup_params([_tree(1.0), _tree(2.0)], weights=[2.0, -1.0])
+
     def test_wrong_weight_count(self):
         with pytest.raises(ValueError, match="weights"):
             soup_params([_tree(1.0), _tree(2.0)], weights=[1.0])
