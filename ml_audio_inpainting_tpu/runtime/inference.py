@@ -52,6 +52,7 @@ from ml_audio_inpainting_tpu.ops.phase import (
 )
 from ml_audio_inpainting_tpu.ops.stft import istft, stft
 from ml_audio_inpainting_tpu.utils.config import Config
+from ml_audio_inpainting_tpu.utils.precision import cast_floating
 
 __all__ = [
     "make_gan_inpaint_fn",
@@ -153,12 +154,7 @@ def make_gan_inpaint_fn(
         )(gap_start, gap_len)
 
         if compute_dtype is not None:
-            cast_vars = jax.tree_util.tree_map(
-                lambda p: p.astype(compute_dtype)
-                if hasattr(p, "dtype") and p.dtype == jnp.float32
-                else p,
-                variables,
-            )
+            cast_vars = cast_floating(variables, compute_dtype)
             generated = generator.apply(
                 cast_vars,
                 log_impaired.astype(compute_dtype),
@@ -238,12 +234,7 @@ def make_gan_inpaint_mask_fn(
             sample_mask, F, N, spec_cfg.hop_length, rule="any"
         )
         if compute_dtype is not None:
-            cast_vars = jax.tree_util.tree_map(
-                lambda p: p.astype(compute_dtype)
-                if hasattr(p, "dtype") and p.dtype == jnp.float32
-                else p,
-                variables,
-            )
+            cast_vars = cast_floating(variables, compute_dtype)
             generated = generator.apply(
                 cast_vars,
                 log_impaired.astype(compute_dtype),

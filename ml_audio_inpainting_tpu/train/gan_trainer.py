@@ -35,6 +35,7 @@ from ml_audio_inpainting_tpu.models.vgg import (
 from ml_audio_inpainting_tpu.train import features
 from ml_audio_inpainting_tpu.train.losses import discriminator_loss, generator_losses
 from ml_audio_inpainting_tpu.utils.config import Config
+from ml_audio_inpainting_tpu.utils.precision import cast_floating
 
 __all__ = [
     "GANState",
@@ -115,16 +116,6 @@ def _gan_feature_fn(cfg: Config):
     return fn
 
 
-def _cast_f32_leaves(tree, dtype):
-    """Cast every f32 (or, for restoring, reduced-precision) leaf to ``dtype``."""
-    return jax.tree_util.tree_map(
-        lambda p: p.astype(dtype)
-        if hasattr(p, "dtype") and jnp.issubdtype(p.dtype, jnp.floating)
-        else p,
-        tree,
-    )
-
-
 def make_gan_train_step(
     cfg: Config,
     vgg: Optional[Tuple[VGG19Features, Any]] = None,
@@ -167,15 +158,15 @@ def make_gan_train_step(
     if use_vgg:
         vgg_model, vgg_vars = vgg
         if compute_dtype is not None:
-            vgg_vars = _cast_f32_leaves(vgg_vars, compute_dtype)
+            vgg_vars = cast_floating(vgg_vars, compute_dtype)
 
     cast = (
-        (lambda tr: _cast_f32_leaves(tr, compute_dtype))
+        (lambda tr: cast_floating(tr, compute_dtype))
         if compute_dtype is not None
         else (lambda tr: tr)
     )
     restore = (
-        (lambda tr: _cast_f32_leaves(tr, jnp.float32))
+        (lambda tr: cast_floating(tr, jnp.float32))
         if compute_dtype is not None
         else (lambda tr: tr)
     )
