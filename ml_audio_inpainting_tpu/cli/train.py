@@ -81,6 +81,12 @@ def build_argparser() -> argparse.ArgumentParser:
                    help="GAN step compute precision: bf16 runs the G/D/VGG "
                         "conv stacks in bfloat16 with f32 master weights and "
                         "f32 loss reductions (mixed precision)")
+    p.add_argument("--remat", action="store_true",
+                   help="rematerialize the GAN step's network forwards "
+                        "(jax.checkpoint): backward recomputes activations "
+                        "instead of holding them in HBM -- fits batches past "
+                        "the spill point (f32 B=32 single-chip) at ~1 extra "
+                        "forward of FLOPs; numerically identical")
     return p
 
 
@@ -137,6 +143,11 @@ def main(argv=None) -> None:
         # scan (results/README.md MFU notes); bf16 compute is wired for the
         # MXU-bound GAN step only.
         raise SystemExit("--train-dtype bf16 is supported for --model gan only")
+    if args.model != "gan" and args.remat:
+        # Same fail-fast rationale: remat targets the GAN step's activation
+        # HBM (conv U-Net + VGG stacks); the CNN step is scan-latency-bound
+        # and does not spill at its production batch sizes.
+        raise SystemExit("--remat is supported for --model gan only")
     cfg = load_config(args.config) if args.config else Config()
     if args.epochs is not None:
         cfg.training.epochs = args.epochs
@@ -402,7 +413,9 @@ def main(argv=None) -> None:
         )
         vgg = vgg19_params() if use_vgg else None
         compute_dtype = jnp.bfloat16 if args.train_dtype == "bf16" else None
-        step_fn = make_gan_train_step(cfg, vgg=vgg, compute_dtype=compute_dtype)
+        step_fn = make_gan_train_step(
+            cfg, vgg=vgg, compute_dtype=compute_dtype, remat=args.remat
+        )
         g_sh = state_shardings(g_state, mesh)
         d_sh = state_shardings(d_state, mesh)
         step_fn = jax.jit(

@@ -120,6 +120,7 @@ def make_gan_train_step(
     cfg: Config,
     vgg: Optional[Tuple[VGG19Features, Any]] = None,
     compute_dtype=None,
+    remat: bool = False,
 ) -> Callable:
     """Build the fused two-optimizer step.
 
@@ -143,6 +144,15 @@ def make_gan_train_step(
     vectors ARE cast (power iteration is self-correcting, and an f32 sigma
     would promote ``kernel / sigma`` — and with it the whole D stack —
     back to f32).
+
+    ``remat``: rematerialize (``jax.checkpoint``) each differentiated
+    network forward — G, D-on-fake, and the VGG terms — so the backward
+    pass recomputes activations instead of holding them in HBM.  Trades
+    ~1 extra forward of FLOPs for the step's dominant activation memory;
+    use it to fit batch sizes past the non-remat HBM spill point (B=32
+    f32 spills single-chip without it).  Numerically identical to the
+    plain step.  The detached G forward feeding the D step is left alone:
+    it is under ``stop_gradient``, so no activations are retained there.
     """
     feat = _gan_feature_fn(cfg)
     t = cfg.training
@@ -190,18 +200,23 @@ def make_gan_train_step(
         )
         fake_detached = jax.lax.stop_gradient(fake_detached)
 
-        def d_loss_fn(d_params):
-            d_real, upd1 = d_state.apply_fn(
-                {"params": cast(d_params), "batch_stats": cast(d_state.batch_stats)},
-                orig_c,
+        def d_train_apply(d_params, bstats, x):
+            return d_state.apply_fn(
+                {"params": cast(d_params), "batch_stats": bstats},
+                x,
                 train=True,
                 mutable=["batch_stats"],
             )
-            d_fake, upd2 = d_state.apply_fn(
-                {"params": cast(d_params), "batch_stats": upd1["batch_stats"]},
-                fake_detached,
-                train=True,
-                mutable=["batch_stats"],
+
+        if remat:
+            d_train_apply = jax.checkpoint(d_train_apply)
+
+        def d_loss_fn(d_params):
+            d_real, upd1 = d_train_apply(
+                d_params, cast(d_state.batch_stats), orig_c
+            )
+            d_fake, upd2 = d_train_apply(
+                d_params, upd1["batch_stats"], fake_detached
             )
             losses = discriminator_loss(
                 d_real.astype(jnp.float32), d_fake.astype(jnp.float32)
@@ -215,24 +230,34 @@ def make_gan_train_step(
         d_state = d_state.replace(batch_stats=restore(d_upd["batch_stats"]))
 
         # --- Generator step (train.py:365-378, with the no_grad defect fixed) ---
-        def g_loss_fn(g_params):
-            fake, g_upd = g_state.apply_fn(
+        def g_apply(g_params, x, m):
+            return g_state.apply_fn(
                 {"params": cast(g_params), "batch_stats": g_state.batch_stats},
-                impaired_c,
-                mask_c,
+                x,
+                m,
                 train=True,
                 mutable=["batch_stats"],
             )
-            d_fake_logits = d_state.apply_fn(
+
+        def d_infer(x):
+            return d_state.apply_fn(
                 {"params": cast(d_state.params), "batch_stats": cast(d_state.batch_stats)},
-                fake,
+                x,
                 train=False,
             )
-            vgg_losses = (
-                vgg_perceptual_style_losses(vgg_model, vgg_vars, fake, orig_c)
-                if use_vgg
-                else None
-            )
+
+        def vgg_terms(fake, target):
+            return vgg_perceptual_style_losses(vgg_model, vgg_vars, fake, target)
+
+        if remat:
+            g_apply = jax.checkpoint(g_apply)
+            d_infer = jax.checkpoint(d_infer)
+            vgg_terms = jax.checkpoint(vgg_terms)
+
+        def g_loss_fn(g_params):
+            fake, g_upd = g_apply(g_params, impaired_c, mask_c)
+            d_fake_logits = d_infer(fake)
+            vgg_losses = vgg_terms(fake, orig_c) if use_vgg else None
             losses = generator_losses(
                 fake.astype(jnp.float32),
                 orig,

@@ -179,6 +179,31 @@ class TestGANTraining:
             assert np.isfinite(float(metrics["d_total"]))
         assert g_losses[-1] < g_losses[0], g_losses
 
+    def test_remat_step_matches_plain_step(self, speech_like):
+        """remat=True must be numerically identical: jax.checkpoint changes
+        WHEN activations are computed (backward recompute), never WHAT --
+        params, opt state, and losses after a step agree to float tolerance."""
+        cfg = tiny_gan_config()
+        audio = jnp.asarray(speech_like[:16000])[None, :]
+        key = jax.random.PRNGKey(3)
+
+        ga, da = create_gan_states(cfg, jax.random.PRNGKey(0))
+        gb, db = create_gan_states(cfg, jax.random.PRNGKey(0))
+        step_plain = make_gan_train_step(cfg)
+        step_remat = make_gan_train_step(cfg, remat=True)
+
+        ga, da, ma = step_plain(ga, da, audio, key)
+        gb, db, mb = step_remat(gb, db, audio, key)
+        assert abs(float(ma["g_total"]) - float(mb["g_total"])) < 1e-5
+        assert abs(float(ma["d_total"]) - float(mb["d_total"])) < 1e-5
+        for a, b in zip(
+            jax.tree_util.tree_leaves((ga.params, da.params, ga.batch_stats)),
+            jax.tree_util.tree_leaves((gb.params, db.params, gb.batch_stats)),
+        ):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6
+            )
+
     def test_reduced_precision_dtype_preserved(self):
         """preprocess_for_vgg must not promote a bf16 input back to f32 (the
         ImageNet mean/std constants follow the input dtype) — otherwise the
