@@ -531,13 +531,32 @@ def main(argv=None) -> None:
     ckpt.close()
     if best_ckpt is not None:
         best_ckpt.wait()
-        best_ckpt.close()
         if probe_state["best_step"] >= 0:
             run.logger.info(
                 "best probe checkpoint: step %d (gap-SDR %.2f dB) under %s",
                 probe_state["best_step"], probe_state["best"],
                 run.checkpoint_dir / "best",
             )
+            # Deployment-ready artifact: export the probe-best INFERENCE
+            # variables (params + batch_stats, no optimizer state) as a
+            # compact f16 npz accepted by evaluate/inpaint --checkpoint.
+            # Previous rounds did this restore->export by hand every time a
+            # run finished; the committed headline checkpoints under
+            # results/checkpoints/ are exactly this artifact.
+            from ml_audio_inpainting_tpu.train.checkpoints import export_params_npz
+
+            template = (
+                {"g": g_state, "d": d_state} if args.model == "gan" else state
+            )
+            best = best_ckpt.restore(template, step=probe_state["best_step"])
+            bstate = best["g"] if args.model == "gan" else best
+            variables = {"params": bstate.params}
+            if bstate.batch_stats is not None:
+                variables["batch_stats"] = bstate.batch_stats
+            npz_path = run.checkpoint_dir / "best_inference.npz"
+            export_params_npz(npz_path, jax.device_get(variables))
+            run.logger.info("probe-best inference weights exported: %s", npz_path)
+        best_ckpt.close()
     run.logger.info("training done at step %d", step)
     run.close()
 

@@ -113,6 +113,14 @@ class TestTrainCLI:
         assert "new best" in text and "best probe checkpoint" in text
         best = list((tmp_path / "checkpoints").rglob("best"))
         assert best and any(best[0].iterdir()), "best checkpoint not written"
+        # End-of-training auto-export: the probe-best inference weights land
+        # as a compact npz accepted by evaluate/inpaint --checkpoint.
+        npz = list((tmp_path / "checkpoints").rglob("best_inference.npz"))
+        assert npz, "probe-best npz not exported"
+        from ml_audio_inpainting_tpu.train.checkpoints import load_params_npz
+
+        variables = load_params_npz(npz[0])
+        assert "params" in variables
 
     def test_train_gap_len_and_probe_gap_len(self, tmp_path):
         """--train-gap-len overrides the training corruption length and
@@ -176,6 +184,9 @@ class TestTrainCLI:
                 # bf16 here covers the --train-dtype CLI plumbing; the
                 # f32/bf16 step equivalence itself is pinned in test_gan.py.
                 "--train-dtype", "bf16",
+                # probe on to cover the GAN branch of the probe-best npz
+                # export (the CNN branch is pinned above).
+                "--probe-every", "2", "--probe-clips", "1",
                 "--base-dir", str(tmp_path), "--run-name", "g",
             ]
         )
@@ -183,6 +194,12 @@ class TestTrainCLI:
         assert logs and "g_total" in logs[0].read_text()
         samples = list((tmp_path / "samples").rglob("*.flac"))
         assert samples, "sample dump did not produce audio"
+        npz = list((tmp_path / "checkpoints").rglob("best_inference.npz"))
+        assert npz, "GAN probe-best npz not exported"
+        from ml_audio_inpainting_tpu.train.checkpoints import load_params_npz
+
+        variables = load_params_npz(npz[0])
+        assert "params" in variables  # generator inference vars only
 
 
 class TestPreprocessCLI:
