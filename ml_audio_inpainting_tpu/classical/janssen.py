@@ -89,9 +89,13 @@ def janssen(
         ``"banded"`` (block-tridiagonal Cholesky exploiting the bandwidth
         ``p`` -- O(max_gap p^2) instead of O(max_gap^3), required for long
         gaps: at 500 ms the dense system is 8000x8000 while the true
-        bandwidth is only ``p``), or ``"auto"`` (dense up to 2048, banded
-        beyond).  Both compute the same factorization; banded needs
-        ``max_gap % p == 0``.
+        bandwidth is only ``p``), or ``"auto"`` (banded whenever the
+        block shape divides, dense otherwise).  Banded wins even at
+        short gaps on TPU -- 404 vs 340 s-audio/s at the 80 ms bench
+        config, p=256/max_gap=2048 (results/janssen_solver_timing.json):
+        the ~20x FLOP cut beats the block-sequential latency already at
+        8 blocks.  Both compute the same factorization; banded needs
+        ``max_gap % p == 0`` and at least two blocks.
 
     Returns the restored signal (observed samples untouched).
     """
@@ -102,7 +106,7 @@ def janssen(
     if solver not in ("auto", "dense", "banded"):
         raise ValueError(f"solver must be auto|dense|banded, got {solver!r}")
     use_banded = solver == "banded" or (
-        solver == "auto" and max_gap > 2048 and max_gap % p == 0
+        solver == "auto" and max_gap % p == 0 and max_gap // p >= 2
     )
     if use_banded and max_gap % p != 0:
         raise ValueError(f"banded solver needs max_gap % p == 0 ({max_gap} % {p})")

@@ -32,6 +32,14 @@ def build_argparser() -> argparse.ArgumentParser:
                    help="GAN YAML for the refiner model (default: GAN profile)")
     p.add_argument("--config", type=str, default=None)
     p.add_argument("--checkpoint", type=str, default=None)
+    p.add_argument("--checkpoint-longgap", type=str, default=None,
+                   help="long-gap variant weights; used instead of "
+                        "--checkpoint when --gap-len exceeds "
+                        "--longgap-threshold (measured crossover, "
+                        "results/gap_length_sweep.json)")
+    p.add_argument("--longgap-threshold", type=float, default=None,
+                   help="gap length (s) past which --checkpoint-longgap "
+                        "takes over (default: the measured 0.25 s crossover)")
     p.add_argument("--input", type=str, default="/root/reference/test_samples",
                    help="eval clips directory (default: the 9 bundled samples)")
     p.add_argument("--output-json", type=str, default=None)
@@ -238,6 +246,20 @@ def main(argv=None) -> None:
     from ml_audio_inpainting_tpu.utils.config import Config, load_config
 
     args = build_argparser().parse_args(argv)
+    if args.checkpoint_longgap:
+        from ml_audio_inpainting_tpu.runtime.inference import (
+            LONGGAP_THRESHOLD_S,
+            route_checkpoint,
+        )
+
+        routed = route_checkpoint(
+            args.gap_len, args.checkpoint, args.checkpoint_longgap,
+            args.longgap_threshold
+            if args.longgap_threshold is not None else LONGGAP_THRESHOLD_S,
+        )
+        if routed != args.checkpoint:
+            print(f"gap {args.gap_len:.3f}s: routing to long-gap checkpoint {routed}")
+        args.checkpoint = routed
     cfg = load_config(args.config) if args.config else Config()
     sr = cfg.data.sample_rate
 

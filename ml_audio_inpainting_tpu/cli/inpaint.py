@@ -39,6 +39,15 @@ def build_argparser() -> argparse.ArgumentParser:
                    help="GAN YAML for --model refiner (default: GAN profile)")
     p.add_argument("--config", type=str, default=None)
     p.add_argument("--checkpoint", type=str, default=None, help="orbax checkpoint dir")
+    p.add_argument("--checkpoint-longgap", type=str, default=None,
+                   help="long-gap variant weights (e.g. "
+                        "results/checkpoints/gan_formant_v2_longgap_r2.npz); "
+                        "used instead of --checkpoint when --gap-len exceeds "
+                        "--longgap-threshold (the measured crossover, "
+                        "results/gap_length_sweep.json)")
+    p.add_argument("--longgap-threshold", type=float, default=None,
+                   help="gap length (s) past which --checkpoint-longgap "
+                        "takes over (default: the measured 0.25 s crossover)")
     p.add_argument("--input", required=True, help="audio file or directory")
     p.add_argument("--output", required=True, help="output file or directory")
     p.add_argument("--gap-start", type=float, default=2.0, help="gap start (s); model_eval.py:70")
@@ -116,6 +125,20 @@ def main(argv=None) -> None:
 
     gap_start = int(args.gap_start * sr)
     gap_len = int(args.gap_len * sr)
+    if args.checkpoint_longgap:
+        from ml_audio_inpainting_tpu.runtime.inference import (
+            LONGGAP_THRESHOLD_S,
+            route_checkpoint,
+        )
+
+        routed = route_checkpoint(
+            args.gap_len, args.checkpoint, args.checkpoint_longgap,
+            args.longgap_threshold
+            if args.longgap_threshold is not None else LONGGAP_THRESHOLD_S,
+        )
+        if routed != args.checkpoint:
+            print(f"gap {args.gap_len:.3f}s: routing to long-gap checkpoint {routed}")
+        args.checkpoint = routed
     if args.model == "refiner":
         from ml_audio_inpainting_tpu.train.refiner_trainer import MAX_GAP
 

@@ -11,6 +11,7 @@ when no LibriSpeech tree is available.
 from __future__ import annotations
 
 import argparse
+import sys
 import time
 from pathlib import Path
 
@@ -160,6 +161,9 @@ def main(argv=None) -> None:
         cfg.data.gap_len_s = args.train_gap_len
 
     run = RunContext(cfg, run_name=args.run_name, base_dir=args.base_dir)
+    # Reproducibility: the config dump alone cannot reconstruct the run
+    # (probe/corpus/dtype flags live outside the config tree).
+    run.logger.info("argv: %s", " ".join(argv if argv is not None else sys.argv[1:]))
     # Data-parallel width must divide the batch; use the largest divisor of
     # the batch size that fits the available devices.
     import math

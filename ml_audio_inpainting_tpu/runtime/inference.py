@@ -59,9 +59,36 @@ __all__ = [
     "make_cnn_inpaint_fn",
     "make_gan_inpaint_mask_fn",
     "make_cnn_inpaint_mask_fn",
+    "route_checkpoint",
 ]
 
 PHASE_MODES = ("oracle", "impaired", "extrapolate", "griffinlim")
+
+# Gap length past which the standard (<=200 ms-trained) GAN checkpoint yields
+# to the long-gap variant: the measured crossover sits between the 0.16 s
+# sweep point (standard 2.33 vs longgap 2.18 dB) and 0.32 s (1.13 vs 1.27;
+# by 0.5 s it is -1.83 vs +1.20) -- results/gap_length_sweep.json.
+LONGGAP_THRESHOLD_S = 0.25
+
+
+def route_checkpoint(
+    gap_len_s: float,
+    checkpoint: str | None,
+    longgap_checkpoint: str | None,
+    threshold_s: float = LONGGAP_THRESHOLD_S,
+) -> str | None:
+    """Pick standard vs long-gap weights by the gap length being served.
+
+    Operationalizes the measured deployment rule (results/README.md gap-length
+    sweep): the standard recipe degrades past ~0.35 s while the
+    ``--train-gap-len 0.5`` variant holds; below the threshold the standard
+    checkpoint is strictly better.  No reference counterpart -- the reference
+    ships a single checkpoint per family and its recorded numbers stop at the
+    80 ms condition (``model_eval.py:64-70``).
+    """
+    if longgap_checkpoint and gap_len_s > threshold_s:
+        return longgap_checkpoint
+    return checkpoint
 
 
 def _check_phase(phase: str) -> None:

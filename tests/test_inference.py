@@ -200,3 +200,31 @@ class TestCheckpoints:
         out = mgr.restore({"w": np.zeros(4)})
         np.testing.assert_array_equal(out["w"], np.full((4,), 3.0))
         mgr.close()
+
+
+class TestCheckpointRouting:
+    """Gap-length checkpoint router (results/gap_length_sweep.json crossover)."""
+
+    def test_routes_long_gaps_to_longgap_weights(self):
+        from ml_audio_inpainting_tpu.runtime.inference import route_checkpoint
+
+        assert route_checkpoint(0.5, "std.npz", "long.npz") == "long.npz"
+        assert route_checkpoint(0.32, "std.npz", "long.npz") == "long.npz"
+
+    def test_short_gaps_keep_standard(self):
+        from ml_audio_inpainting_tpu.runtime.inference import route_checkpoint
+
+        assert route_checkpoint(0.08, "std.npz", "long.npz") == "std.npz"
+        assert route_checkpoint(0.16, "std.npz", "long.npz") == "std.npz"
+
+    def test_no_longgap_checkpoint_is_passthrough(self):
+        from ml_audio_inpainting_tpu.runtime.inference import route_checkpoint
+
+        assert route_checkpoint(0.5, "std.npz", None) == "std.npz"
+        assert route_checkpoint(0.5, None, None) is None
+
+    def test_custom_threshold(self):
+        from ml_audio_inpainting_tpu.runtime.inference import route_checkpoint
+
+        assert route_checkpoint(0.2, "s", "l", threshold_s=0.1) == "l"
+        assert route_checkpoint(0.2, "s", "l", threshold_s=0.3) == "s"
