@@ -82,6 +82,12 @@ def build_argparser() -> argparse.ArgumentParser:
                    help="GAN step compute precision: bf16 runs the G/D/VGG "
                         "conv stacks in bfloat16 with f32 master weights and "
                         "f32 loss reductions (mixed precision)")
+    p.add_argument("--g-ema", type=float, default=0.0,
+                   help="generator-params EMA decay (GAN only, 0 = off; "
+                        "try 0.999). The probe, best-checkpoint selection, "
+                        "and the exported inference npz all use the EMA "
+                        "weights; the adversarial game runs on the live "
+                        "weights")
     p.add_argument("--remat", action="store_true",
                    help="rematerialize the GAN step's network forwards "
                         "(jax.checkpoint): backward recomputes activations "
@@ -144,6 +150,8 @@ def main(argv=None) -> None:
         # scan (results/README.md MFU notes); bf16 compute is wired for the
         # MXU-bound GAN step only.
         raise SystemExit("--train-dtype bf16 is supported for --model gan only")
+    if args.model != "gan" and args.g_ema:
+        raise SystemExit("--g-ema is supported for --model gan only")
     if args.model != "gan" and args.remat:
         # Same fail-fast rationale: remat targets the GAN step's activation
         # HBM (conv U-Net + VGG stacks); the CNN step is scan-latency-bound
@@ -411,14 +419,15 @@ def main(argv=None) -> None:
             make_gan_train_step,
         )
 
-        g_state, d_state = create_gan_states(cfg, key)
+        g_state, d_state = create_gan_states(cfg, key, g_ema=args.g_ema)
         use_vgg = (
             cfg.training.lambda_vgg_perceptual > 0 or cfg.training.lambda_vgg_style > 0
         )
         vgg = vgg19_params() if use_vgg else None
         compute_dtype = jnp.bfloat16 if args.train_dtype == "bf16" else None
         step_fn = make_gan_train_step(
-            cfg, vgg=vgg, compute_dtype=compute_dtype, remat=args.remat
+            cfg, vgg=vgg, compute_dtype=compute_dtype, remat=args.remat,
+            g_ema=args.g_ema,
         )
         g_sh = state_shardings(g_state, mesh)
         d_sh = state_shardings(d_state, mesh)
@@ -482,7 +491,13 @@ def main(argv=None) -> None:
             )
 
         def gan_probe(step):
-            variables = {"params": jax.device_get(g_state.params)}
+            # Serve the EMA weights when enabled (what deployment would use;
+            # live weights still drive the adversarial game).
+            serve = (
+                g_state.ema_params
+                if g_state.ema_params is not None else g_state.params
+            )
+            variables = {"params": jax.device_get(serve)}
             if g_state.batch_stats is not None:
                 variables["batch_stats"] = jax.device_get(g_state.batch_stats)
             return run_probe(
@@ -554,7 +569,12 @@ def main(argv=None) -> None:
             )
             best = best_ckpt.restore(template, step=probe_state["best_step"])
             bstate = best["g"] if args.model == "gan" else best
-            variables = {"params": bstate.params}
+            bparams = (
+                bstate.ema_params
+                if getattr(bstate, "ema_params", None) is not None
+                else bstate.params
+            )
+            variables = {"params": bparams}
             if bstate.batch_stats is not None:
                 variables["batch_stats"] = bstate.batch_stats
             npz_path = run.checkpoint_dir / "best_inference.npz"

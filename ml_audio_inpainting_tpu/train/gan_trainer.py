@@ -49,6 +49,9 @@ __all__ = [
 
 class GANState(train_state.TrainState):
     batch_stats: Any = None
+    # Exponential moving average of the generator params (``--g-ema``).
+    # None when disabled; the optimizer never sees it (serving-only weights).
+    ema_params: Any = None
 
 
 def build_generator(cfg: Config) -> PConvUNet:
@@ -71,9 +74,16 @@ def build_discriminator(cfg: Config) -> Discriminator:
     )
 
 
-def create_gan_states(cfg: Config, rng: jax.Array) -> Tuple[GANState, GANState]:
+def create_gan_states(
+    cfg: Config, rng: jax.Array, g_ema: float = 0.0
+) -> Tuple[GANState, GANState]:
     """Init G and D with their Adam optimizers (config.yaml:34-37:
-    lr 2e-4, betas (0.5, 0.999))."""
+    lr 2e-4, betas (0.5, 0.999)).
+
+    ``g_ema`` > 0 seeds ``g_state.ema_params`` with a copy of the fresh
+    params; :func:`make_gan_train_step` then maintains the moving average
+    (no reference counterpart -- the reference serves the raw live
+    weights, ``train.py:419-506``)."""
     spec = cfg.data.spectrogram
     F, T = spec.freq_bins, spec.frames(cfg.data.max_samples)
     g_rng, d_rng = jax.random.split(rng)
@@ -87,6 +97,10 @@ def create_gan_states(cfg: Config, rng: jax.Array) -> Tuple[GANState, GANState]:
         apply_fn=gen.apply,
         params=g_vars["params"],
         batch_stats=g_vars.get("batch_stats"),
+        ema_params=(
+            jax.tree_util.tree_map(jnp.array, g_vars["params"])
+            if g_ema > 0 else None
+        ),
         tx=optax.adam(t.g_lr, b1=t.b1, b2=t.b2),
     )
 
@@ -121,6 +135,7 @@ def make_gan_train_step(
     vgg: Optional[Tuple[VGG19Features, Any]] = None,
     compute_dtype=None,
     remat: bool = False,
+    g_ema: float = 0.0,
 ) -> Callable:
     """Build the fused two-optimizer step.
 
@@ -153,6 +168,14 @@ def make_gan_train_step(
     f32 spills single-chip without it).  Numerically identical to the
     plain step.  The detached G forward feeding the D step is left alone:
     it is under ``stop_gradient``, so no activations are retained there.
+
+    ``g_ema``: decay of a generator-params exponential moving average
+    (0 = off).  The EMA lives in ``g_state.ema_params`` (seeded by
+    :func:`create_gan_states`), is updated on-device after the optimizer
+    step (one param-sized elementwise blend -- negligible next to the
+    conv stacks), and is always held/updated in f32 regardless of
+    ``compute_dtype``.  Serving-only: the adversarial game still runs on
+    the live weights.
     """
     feat = _gan_feature_fn(cfg)
     t = cfg.training
@@ -273,6 +296,14 @@ def make_gan_train_step(
         )(g_state.params)
         g_state = g_state.apply_gradients(grads=g_grads)
         g_state = g_state.replace(batch_stats=restore(g_upd["batch_stats"]))
+        if g_ema > 0 and g_state.ema_params is not None:
+            g_state = g_state.replace(
+                ema_params=jax.tree_util.tree_map(
+                    lambda e, p: g_ema * e + (1.0 - g_ema) * p,
+                    g_state.ema_params,
+                    g_state.params,
+                )
+            )
 
         metrics = {**{k: v for k, v in g_losses.items()}, **d_losses}
         return g_state, d_state, metrics

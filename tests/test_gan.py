@@ -278,3 +278,70 @@ class TestGANTraining:
         audio = jnp.asarray(speech_like[:16000])[None, :]
         out = ev(g_state, d_state, audio, jax.random.PRNGKey(0))
         assert np.isfinite(float(out["g_total"]))
+
+
+class TestGeneratorEMA:
+    """--g-ema: serving-side EMA of the generator params (no reference
+    counterpart; the reference serves raw live weights, train.py:419-506)."""
+
+    def test_ema_seeded_with_initial_params(self):
+        cfg = tiny_gan_config()
+        g_state, _ = create_gan_states(cfg, jax.random.PRNGKey(0), g_ema=0.9)
+        assert g_state.ema_params is not None
+        for e, p in zip(
+            jax.tree_util.tree_leaves(g_state.ema_params),
+            jax.tree_util.tree_leaves(g_state.params),
+        ):
+            np.testing.assert_array_equal(np.asarray(e), np.asarray(p))
+
+    def test_ema_disabled_by_default(self):
+        cfg = tiny_gan_config()
+        g_state, _ = create_gan_states(cfg, jax.random.PRNGKey(0))
+        assert g_state.ema_params is None
+
+    def test_ema_is_exact_blend_of_live_trajectory(self, speech_like):
+        """After each step, ema must equal decay*ema_prev + (1-decay)*params;
+        verified against a host-side replay of the live-param trajectory."""
+        decay = 0.5
+        cfg = tiny_gan_config()
+        g_state, d_state = create_gan_states(cfg, jax.random.PRNGKey(0), g_ema=decay)
+        step = make_gan_train_step(cfg, g_ema=decay)
+        audio = jnp.asarray(speech_like[:16000])[None, :]
+
+        expect = jax.tree_util.tree_map(np.asarray, jax.device_get(g_state.params))
+        for i in range(3):
+            g_state, d_state, _ = step(g_state, d_state, audio, jax.random.PRNGKey(i))
+            live = jax.device_get(g_state.params)
+            expect = jax.tree_util.tree_map(
+                lambda e, p: decay * e + (1 - decay) * np.asarray(p), expect, live
+            )
+        for e, g in zip(
+            jax.tree_util.tree_leaves(expect),
+            jax.tree_util.tree_leaves(jax.device_get(g_state.ema_params)),
+        ):
+            np.testing.assert_allclose(e, np.asarray(g), rtol=1e-5, atol=1e-6)
+        # and the EMA genuinely lags the live params after updates
+        diffs = [
+            float(np.max(np.abs(np.asarray(a) - np.asarray(b))))
+            for a, b in zip(
+                jax.tree_util.tree_leaves(jax.device_get(g_state.ema_params)),
+                jax.tree_util.tree_leaves(jax.device_get(g_state.params)),
+            )
+        ]
+        assert max(diffs) > 0
+
+    def test_ema_params_serve_through_inference(self, speech_like):
+        from ml_audio_inpainting_tpu.runtime.inference import make_gan_inpaint_fn
+        from ml_audio_inpainting_tpu.train.gan_trainer import build_generator
+
+        cfg = tiny_gan_config()
+        g_state, d_state = create_gan_states(cfg, jax.random.PRNGKey(0), g_ema=0.9)
+        step = make_gan_train_step(cfg, g_ema=0.9)
+        audio = jnp.asarray(speech_like[:16000])[None, :]
+        g_state, d_state, _ = step(g_state, d_state, audio, jax.random.PRNGKey(0))
+        fn = make_gan_inpaint_fn(cfg, build_generator(cfg), mode="enhanced")
+        variables = {"params": g_state.ema_params}
+        if g_state.batch_stats is not None:
+            variables["batch_stats"] = g_state.batch_stats
+        out, _ = fn(variables, audio, jnp.asarray([4000]), jnp.asarray([800]))
+        assert np.isfinite(np.asarray(out)).all()
