@@ -82,12 +82,12 @@ def build_argparser() -> argparse.ArgumentParser:
                    help="GAN step compute precision: bf16 runs the G/D/VGG "
                         "conv stacks in bfloat16 with f32 master weights and "
                         "f32 loss reductions (mixed precision)")
-    p.add_argument("--g-ema", type=float, default=0.0,
-                   help="generator-params EMA decay (GAN only, 0 = off; "
-                        "try 0.999). The probe, best-checkpoint selection, "
-                        "and the exported inference npz all use the EMA "
-                        "weights; the adversarial game runs on the live "
-                        "weights")
+    p.add_argument("--ema", "--g-ema", dest="ema", type=float, default=0.0,
+                   help="serving-side params EMA decay (0 = off; try "
+                        "0.999). The probe, best-checkpoint selection, and "
+                        "the exported inference npz all use the EMA "
+                        "weights; training (the adversarial game, for the "
+                        "GAN) runs on the live weights")
     p.add_argument("--remat", action="store_true",
                    help="rematerialize the GAN step's network forwards "
                         "(jax.checkpoint): backward recomputes activations "
@@ -150,8 +150,6 @@ def main(argv=None) -> None:
         # scan (results/README.md MFU notes); bf16 compute is wired for the
         # MXU-bound GAN step only.
         raise SystemExit("--train-dtype bf16 is supported for --model gan only")
-    if args.model != "gan" and args.g_ema:
-        raise SystemExit("--g-ema is supported for --model gan only")
     if args.model != "gan" and args.remat:
         # Same fail-fast rationale: remat targets the GAN step's activation
         # HBM (conv U-Net + VGG stacks); the CNN step is scan-latency-bound
@@ -360,11 +358,11 @@ def main(argv=None) -> None:
             make_cnn_train_step,
         )
 
-        state = create_cnn_state(cfg, key)
+        state = create_cnn_state(cfg, key, ema=args.ema)
         if args.resume and ckpt.latest_step() is not None:
             state = ckpt.restore(state)
             run.logger.info("resumed from step %s", ckpt.latest_step())
-        step_fn = make_sharded_step(make_cnn_train_step(cfg), state, mesh)
+        step_fn = make_sharded_step(make_cnn_train_step(cfg, ema=args.ema), state, mesh)
         state = place_state(state, mesh)
         if args.valid_every:
             from ml_audio_inpainting_tpu.train.cnn_trainer import make_cnn_eval_step
@@ -379,7 +377,12 @@ def main(argv=None) -> None:
             probe_fn = make_cnn_inpaint_fn(cfg, build_model(cfg))
 
         def cnn_probe(step, state):
-            variables = {"params": jax.device_get(state.params)}
+            # Serve the EMA weights when enabled (what deployment would use).
+            serve = (
+                state.ema_params
+                if state.ema_params is not None else state.params
+            )
+            variables = {"params": jax.device_get(serve)}
             if state.batch_stats is not None:
                 variables["batch_stats"] = jax.device_get(state.batch_stats)
             return run_probe(step, probe_fn, variables, state)
@@ -419,7 +422,7 @@ def main(argv=None) -> None:
             make_gan_train_step,
         )
 
-        g_state, d_state = create_gan_states(cfg, key, g_ema=args.g_ema)
+        g_state, d_state = create_gan_states(cfg, key, g_ema=args.ema)
         use_vgg = (
             cfg.training.lambda_vgg_perceptual > 0 or cfg.training.lambda_vgg_style > 0
         )
@@ -427,7 +430,7 @@ def main(argv=None) -> None:
         compute_dtype = jnp.bfloat16 if args.train_dtype == "bf16" else None
         step_fn = make_gan_train_step(
             cfg, vgg=vgg, compute_dtype=compute_dtype, remat=args.remat,
-            g_ema=args.g_ema,
+            g_ema=args.ema,
         )
         g_sh = state_shardings(g_state, mesh)
         d_sh = state_shardings(d_state, mesh)

@@ -33,6 +33,9 @@ __all__ = [
 
 class CNNTrainState(train_state.TrainState):
     batch_stats: Any = None
+    # Exponential moving average of the params (``--ema``).  None when
+    # disabled; serving-only weights — the optimizer never sees them.
+    ema_params: Any = None
 
 
 def build_model(cfg: Config) -> StackedBLSTMCNN:
@@ -48,9 +51,13 @@ def build_model(cfg: Config) -> StackedBLSTMCNN:
     )
 
 
-def create_cnn_state(cfg: Config, rng: jax.Array) -> CNNTrainState:
+def create_cnn_state(cfg: Config, rng: jax.Array, ema: float = 0.0) -> CNNTrainState:
     """Initialize model params + Adam state (reference lr 1e-4,
-    ``models/CNNBLSTM/train.py:72``)."""
+    ``models/CNNBLSTM/train.py:72``).
+
+    ``ema`` > 0 seeds ``ema_params`` with a copy of the fresh params;
+    :func:`make_cnn_train_step` then maintains the moving average (no
+    reference counterpart — the reference serves the raw live weights)."""
     model = build_model(cfg)
     spec = cfg.data.spectrogram
     dummy = jnp.zeros((1, spec.freq_bins, spec.frames(cfg.data.max_samples)))
@@ -64,6 +71,10 @@ def create_cnn_state(cfg: Config, rng: jax.Array) -> CNNTrainState:
         apply_fn=model.apply,
         params=variables["params"],
         batch_stats=variables.get("batch_stats"),
+        ema_params=(
+            jax.tree_util.tree_map(jnp.array, variables["params"])
+            if ema > 0 else None
+        ),
         tx=tx,
     )
 
@@ -85,9 +96,13 @@ def _feature_fn(cfg: Config):
 
 
 def make_cnn_train_step(
-    cfg: Config,
+    cfg: Config, ema: float = 0.0
 ) -> Callable[[CNNTrainState, jnp.ndarray, jax.Array], Tuple[CNNTrainState, Dict]]:
-    """Build the jitted train step: gaps -> STFTs -> forward -> L1 -> Adam."""
+    """Build the jitted train step: gaps -> STFTs -> forward -> L1 -> Adam.
+
+    ``ema``: decay of a serving-side params moving average (0 = off);
+    updated on-device after the optimizer step, same contract as the GAN
+    trainer's ``g_ema`` (one param-sized elementwise blend per step)."""
     feat = _feature_fn(cfg)
 
     @jax.jit
@@ -107,6 +122,14 @@ def make_cnn_train_step(
         (loss, updates), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
         new_state = state.apply_gradients(grads=grads)
         new_state = new_state.replace(batch_stats=updates["batch_stats"])
+        if ema > 0 and state.ema_params is not None:
+            new_state = new_state.replace(
+                ema_params=jax.tree_util.tree_map(
+                    lambda e, p: ema * e + (1.0 - ema) * p,
+                    new_state.ema_params,
+                    new_state.params,
+                )
+            )
         return new_state, {"loss": loss}
 
     return step

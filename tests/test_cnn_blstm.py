@@ -170,3 +170,39 @@ class TestTraining:
         audio = jnp.asarray(speech_like[:16000])[None, :]
         out = ev(state, audio, jax.random.PRNGKey(0))
         assert np.isfinite(float(out["loss"]))
+
+    def test_ema_disabled_by_default(self):
+        state = create_cnn_state(small_config(), jax.random.PRNGKey(0))
+        assert state.ema_params is None
+
+    def test_ema_is_exact_blend_of_live_trajectory(self, speech_like):
+        """--ema: after each step, ema == decay*ema_prev + (1-decay)*params
+        (same contract as the GAN trainer's g_ema; no reference
+        counterpart -- the reference serves raw live weights)."""
+        decay = 0.5
+        cfg = small_config()
+        state = create_cnn_state(cfg, jax.random.PRNGKey(0), ema=decay)
+        assert state.ema_params is not None
+        step = make_cnn_train_step(cfg, ema=decay)
+        audio = jnp.asarray(speech_like[:16000])[None, :]
+
+        expect = jax.tree_util.tree_map(np.asarray, jax.device_get(state.params))
+        for i in range(3):
+            state, _ = step(state, audio, jax.random.PRNGKey(i))
+            live = jax.device_get(state.params)
+            expect = jax.tree_util.tree_map(
+                lambda e, p: decay * e + (1 - decay) * np.asarray(p), expect, live
+            )
+        got = jax.device_get(state.ema_params)
+        for e, g in zip(
+            jax.tree_util.tree_leaves(expect), jax.tree_util.tree_leaves(got)
+        ):
+            np.testing.assert_allclose(e, np.asarray(g), rtol=1e-5, atol=1e-6)
+        diffs = [
+            float(np.max(np.abs(np.asarray(a) - np.asarray(b))))
+            for a, b in zip(
+                jax.tree_util.tree_leaves(got),
+                jax.tree_util.tree_leaves(jax.device_get(state.params)),
+            )
+        ]
+        assert max(diffs) > 0
