@@ -72,6 +72,9 @@ def build_argparser() -> argparse.ArgumentParser:
                         "the historical numbers, impaired/griffinlim are the "
                         "deployable regimes with no phase oracle in the gap")
     p.add_argument("--gl-iters", type=int, default=64)
+    p.add_argument("--tta-shifts", type=int, default=1,
+                   help="test-time sub-hop shift ensemble for the neural "
+                        "models (see cli.inpaint --tta-shifts; 1 = off)")
     p.add_argument("--batch-size", type=int, default=16)
     p.add_argument(
         "--n-gaps", type=int, default=1,

@@ -67,6 +67,12 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--gl-iters", type=int, default=64,
                    help="Griffin-Lim iterations for --phase griffinlim "
                         "(reference default 64, utils.py:330-333)")
+    p.add_argument("--tta-shifts", type=int, default=1,
+                   help="test-time sub-hop shift ensemble for the neural "
+                        "models: inpaint N evenly spaced waveform "
+                        "translations (< one STFT hop) and average the "
+                        "predictions inside the gap (1 = off). Costs N "
+                        "forward passes per clip")
     p.add_argument("--ar-order", type=int, default=512)
     p.add_argument("--ar-context", type=int, default=4096,
                    help="AR fit context samples per side (arinpaint.m's "
@@ -323,6 +329,15 @@ def _build_runner(args, cfg, n_samples: int):
                     variables["batch_stats"] = state.batch_stats
             fn = make_cnn_inpaint_fn(cfg, model,
                                      phase=args.phase, gl_iters=args.gl_iters)
+
+        if getattr(args, "tta_shifts", 1) > 1:
+            from ml_audio_inpainting_tpu.runtime.inference import (
+                make_tta_shift_fn,
+            )
+
+            fn = make_tta_shift_fn(
+                fn, cfg.data.spectrogram.hop_length, args.tta_shifts
+            )
 
         def runner(audio, gs, gl):
             restored, _ = fn(variables, audio, gs, gl)

@@ -59,6 +59,7 @@ __all__ = [
     "make_cnn_inpaint_fn",
     "make_gan_inpaint_mask_fn",
     "make_cnn_inpaint_mask_fn",
+    "make_tta_shift_fn",
     "route_checkpoint",
 ]
 
@@ -339,6 +340,51 @@ def make_cnn_inpaint_mask_fn(
             sample_mask, phase_mode, gl_iters, kw, n_samples,
         )
         return restored, composited
+
+    return fn
+
+
+def make_tta_shift_fn(inpaint_fn, hop_length: int, n_shifts: int) -> Callable:
+    """Test-time sub-hop shift ensemble around a ``(variables, audio,
+    gap_start, gap_len)`` inpaint function.
+
+    The STFT grid is only shift-invariant modulo ``hop_length``: translating
+    the waveform by ``s < hop`` samples presents the model with a genuinely
+    different framing of the same gap.  This wrapper inpaints ``n_shifts``
+    evenly spaced sub-hop translations, undoes each shift, and averages the
+    predictions INSIDE the gap (outside it the composite keeps the untouched
+    input, so averaging is a no-op there by construction and we re-composite
+    explicitly to keep that exact).  One jit over the whole ensemble; the
+    shifted copies run as a single unrolled program so XLA shares the DSP
+    prologue.  No reference counterpart (``model_eval.py`` runs one
+    alignment); this is a serving-time quality knob with no training cost.
+
+    ``jnp.roll`` wrap-around touches only the first/last ``s < hop`` samples
+    of each shifted copy -- those frames sit at the clip boundary, far from
+    any interior gap, and the final composite restores the original samples
+    everywhere outside the gap regardless.
+    """
+    if n_shifts < 1:
+        raise ValueError(f"n_shifts must be >= 1, got {n_shifts}")
+    shifts = [int(round(i * hop_length / n_shifts)) for i in range(n_shifts)]
+
+    @jax.jit
+    def fn(variables, audio: jnp.ndarray, gap_start: jnp.ndarray, gap_len: jnp.ndarray):
+        n_samples = audio.shape[-1]
+        acc = None
+        aux0 = None
+        for s in shifts:
+            shifted = jnp.roll(audio, -s, axis=-1)
+            out, aux = inpaint_fn(variables, shifted, gap_start - s, gap_len)
+            out = jnp.roll(out, s, axis=-1)
+            acc = out if acc is None else acc + out
+            if aux0 is None:
+                aux0 = aux
+        avg = acc / float(len(shifts))
+        tmask = jax.vmap(
+            lambda s, l: gap_ops.gap_mask(n_samples, s, l, dtype=audio.dtype)
+        )(gap_start, gap_len)
+        return audio * tmask + avg * (1.0 - tmask), aux0
 
     return fn
 

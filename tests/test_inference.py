@@ -107,6 +107,62 @@ class TestGANInference:
             make_gan_inpaint_mask_fn(cfg, gen, mode="parity", phase="impaired")
 
 
+class TestTTAShiftEnsemble:
+    """make_tta_shift_fn: sub-hop shift ensembling (no reference
+    counterpart -- model_eval.py runs one alignment)."""
+
+    def _setup(self):
+        cfg = tiny_cfg(gan=True)
+        gen = build_generator(cfg)
+        F = cfg.data.spectrogram.freq_bins
+        T = cfg.data.spectrogram.frames(cfg.data.max_samples)
+        variables = gen.init(
+            jax.random.PRNGKey(0), jnp.zeros((1, F, T)), jnp.ones((1, F, T)), train=False
+        )
+        return cfg, gen, variables
+
+    def test_single_shift_matches_base_in_gap(self, speech_like):
+        from ml_audio_inpainting_tpu.runtime.inference import make_tta_shift_fn
+
+        cfg, gen, variables = self._setup()
+        base = make_gan_inpaint_fn(cfg, gen, mode="enhanced")
+        tta = make_tta_shift_fn(base, cfg.data.spectrogram.hop_length, 1)
+        audio = jnp.asarray(speech_like[:16000])[None, :]
+        gs, gl = jnp.asarray([8000]), jnp.asarray([1280])
+        rb, _ = base(variables, audio, gs, gl)
+        rt, _ = tta(variables, audio, gs, gl)
+        np.testing.assert_allclose(
+            np.asarray(rt[0, 8000:9280]), np.asarray(rb[0, 8000:9280]),
+            rtol=1e-5, atol=1e-6,
+        )
+
+    def test_ensemble_preserves_outside_and_differs_inside(self, speech_like):
+        from ml_audio_inpainting_tpu.runtime.inference import make_tta_shift_fn
+
+        cfg, gen, variables = self._setup()
+        base = make_gan_inpaint_fn(cfg, gen, mode="enhanced")
+        tta = make_tta_shift_fn(base, cfg.data.spectrogram.hop_length, 4)
+        audio = jnp.asarray(speech_like[:16000])[None, :]
+        gs, gl = jnp.asarray([8000]), jnp.asarray([1280])
+        rt, _ = tta(variables, audio, gs, gl)
+        rb, _ = base(variables, audio, gs, gl)
+        r, a = np.asarray(rt[0]), np.asarray(audio[0])
+        assert np.all(np.isfinite(r))
+        # exact time-domain composite outside the gap
+        np.testing.assert_array_equal(r[:8000], a[:8000])
+        np.testing.assert_array_equal(r[9280:], a[9280:])
+        # the ensemble genuinely mixes different alignments
+        assert not np.allclose(r[8000:9280], np.asarray(rb[0, 8000:9280]))
+
+    def test_rejects_zero_shifts(self):
+        from ml_audio_inpainting_tpu.runtime.inference import make_tta_shift_fn
+
+        cfg, gen, _ = self._setup()
+        base = make_gan_inpaint_fn(cfg, gen, mode="enhanced")
+        with pytest.raises(ValueError, match="n_shifts"):
+            make_tta_shift_fn(base, cfg.data.spectrogram.hop_length, 0)
+
+
 class TestCNNInference:
     def test_shapes_and_outside_gap(self, speech_like):
         cfg = tiny_cfg(gan=False)
