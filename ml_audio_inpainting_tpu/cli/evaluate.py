@@ -75,6 +75,19 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--tta-shifts", type=int, default=1,
                    help="test-time sub-hop shift ensemble for the neural "
                         "models (see cli.inpaint --tta-shifts; 1 = off)")
+    p.add_argument("--adapt-steps", type=int, default=0,
+                   help="per-clip test-time adaptation: fine-tune the GAN "
+                        "generator for N steps on the clip's own clean "
+                        "context (real gap AR-filled, synthetic training "
+                        "gaps, in-clip probe gate -- runtime/adapt.py); "
+                        "0 = off")
+    p.add_argument("--adapt-lr", type=float, default=5e-5)
+    p.add_argument("--adapt-batch", type=int, default=8)
+    p.add_argument("--adapt-probe-every", type=int, default=25)
+    p.add_argument("--adapt-n-gaps", type=int, default=4,
+                   help="synthetic gaps per adaptation example (the headline "
+                        "training corruption)")
+    p.add_argument("--adapt-seed", type=int, default=0)
     p.add_argument("--batch-size", type=int, default=16)
     p.add_argument(
         "--n-gaps", type=int, default=1,
@@ -330,12 +343,46 @@ def main(argv=None) -> None:
         tmask = jax.vmap(lambda s, l: gap_mask(clean.shape[-1], s, l))(gs, gl)
         gapm = 1.0 - tmask
 
+    if args.adapt_steps > 0 and args.n_gaps > 1:
+        raise SystemExit("--adapt-steps has no multi-gap eval path yet")
+
     results = {}
+    adapt_info: dict = {}
     for model_name in args.models:
         m_args = argparse.Namespace(**vars(args))
         m_args.model = model_name
         runner = _build_runner(m_args, cfg, clean.shape[-1])
-        if args.n_gaps > 1 and model_name in ("gan", "cnn_blstm"):
+        if args.adapt_steps > 0 and model_name == "gan":
+            # Per-clip test-time adaptation (runtime/adapt.py): each clip
+            # gets its own probe-gated fine-tuned generator.
+            from ml_audio_inpainting_tpu.runtime.adapt import (
+                adapt_gan_variables,
+            )
+
+            rcfg = getattr(runner, "cfg", cfg)
+            outs = []
+            for j, f in enumerate(files):
+                vars_j, info = adapt_gan_variables(
+                    rcfg, runner.model, runner.variables, runner.inpaint_fn,
+                    jnp.asarray(clean[j]), int(gs[j]), int(gl[j]),
+                    steps=args.adapt_steps, lr=args.adapt_lr,
+                    batch=args.adapt_batch,
+                    probe_every=args.adapt_probe_every,
+                    n_gaps=args.adapt_n_gaps, seed=args.adapt_seed,
+                    ar_order=args.ar_order, ar_context=args.ar_context,
+                )
+                r, _ = runner.inpaint_fn(
+                    vars_j, jnp.asarray(clean[j])[None],
+                    gs[j : j + 1], gl[j : j + 1],
+                )
+                outs.append(np.asarray(r[0]))
+                adapt_info[f.stem] = info
+                print(
+                    f"adapt {f.stem}: best step {info['best_step']} "
+                    f"probe {info['best_probe_sdr']} dB"
+                )
+            restored = np.stack(outs)
+        elif args.n_gaps > 1 and model_name in ("gan", "cnn_blstm"):
             # Neural models reconstruct ALL gaps in one mask-driven pass
             # (the masked architectures handle arbitrary hole patterns).
             from ml_audio_inpainting_tpu.runtime.inference import (
@@ -418,7 +465,18 @@ def main(argv=None) -> None:
                     "scheme": "IRMAS_gaps.m-style, solved left to right",
                 }
             )
+        if args.adapt_steps > 0:
+            condition["adapt"] = {
+                "steps": args.adapt_steps,
+                "lr": args.adapt_lr,
+                "batch": args.adapt_batch,
+                "n_gaps": args.adapt_n_gaps,
+                "probe_every": args.adapt_probe_every,
+                "seed": args.adapt_seed,
+            }
         payload = {"condition": condition, "results": results}
+        if adapt_info:
+            payload["adapt_info"] = adapt_info
         Path(args.output_json).write_text(json.dumps(payload, indent=2))
         print(f"wrote {args.output_json}")
 
