@@ -355,21 +355,22 @@ def main(argv=None) -> None:
         if args.adapt_steps > 0 and model_name == "gan":
             # Per-clip test-time adaptation (runtime/adapt.py): each clip
             # gets its own probe-gated fine-tuned generator.
-            from ml_audio_inpainting_tpu.runtime.adapt import (
-                adapt_gan_variables,
-            )
+            from ml_audio_inpainting_tpu.runtime.adapt import GanClipAdapter
 
             rcfg = getattr(runner, "cfg", cfg)
+            adapter = GanClipAdapter(
+                rcfg, runner.model, runner.inpaint_fn,
+                steps=args.adapt_steps, lr=args.adapt_lr,
+                batch=args.adapt_batch,
+                probe_every=args.adapt_probe_every,
+                n_gaps=args.adapt_n_gaps,
+                ar_order=args.ar_order, ar_context=args.ar_context,
+            )
             outs = []
             for j, f in enumerate(files):
-                vars_j, info = adapt_gan_variables(
-                    rcfg, runner.model, runner.variables, runner.inpaint_fn,
-                    jnp.asarray(clean[j]), int(gs[j]), int(gl[j]),
-                    steps=args.adapt_steps, lr=args.adapt_lr,
-                    batch=args.adapt_batch,
-                    probe_every=args.adapt_probe_every,
-                    n_gaps=args.adapt_n_gaps, seed=args.adapt_seed,
-                    ar_order=args.ar_order, ar_context=args.ar_context,
+                vars_j, info = adapter.adapt(
+                    runner.variables, jnp.asarray(clean[j]),
+                    int(gs[j]), int(gl[j]), seed=args.adapt_seed,
                 )
                 r, _ = runner.inpaint_fn(
                     vars_j, jnp.asarray(clean[j])[None],

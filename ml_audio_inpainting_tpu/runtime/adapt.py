@@ -47,6 +47,7 @@ from ml_audio_inpainting_tpu.utils.config import Config
 __all__ = [
     "make_gan_adapt_step",
     "probe_positions_for",
+    "GanClipAdapter",
     "adapt_gan_variables",
 ]
 
@@ -150,6 +151,136 @@ def probe_positions_for(
     return cand[pick]
 
 
+class GanClipAdapter:
+    """Reusable per-clip adapter: all jitted programs (AR fill, fine-tune
+    step, probe) are built ONCE and shared across clips -- on TPU each trace
+    costs minutes through the remote-compile tunnel, so a per-clip factory
+    would recompile 3 programs x 9 clips."""
+
+    def __init__(
+        self,
+        cfg: Config,
+        generator,
+        inpaint_fn: Callable,
+        *,
+        steps: int = 200,
+        lr: float = 5e-5,
+        batch: int = 8,
+        probe_every: int = 25,
+        n_probes: int = 4,
+        n_gaps: int = 4,
+        ar_order: int = 512,
+        ar_context: int = 4096,
+    ):
+        self.cfg = cfg
+        self.inpaint_fn = inpaint_fn
+        self.steps = steps
+        self.batch = batch
+        self.probe_every = probe_every
+        self.n_probes = n_probes
+        self.ar_order = ar_order
+        self.ar_context = ar_context
+        self.init_fn, self.step_fn = make_gan_adapt_step(
+            cfg, generator, lr=lr, n_gaps=n_gaps
+        )
+        self._ar_fill = jax.jit(
+            lambda x, m, s, l, max_gap: arinpaint(
+                x, m, s, l, order=ar_order, context=ar_context, max_gap=max_gap
+            ),
+            static_argnums=(4,),
+        )
+
+        @jax.jit
+        def _probe(vars_, probe_audio, gs, gl, gapm):
+            restored, _ = inpaint_fn(vars_, probe_audio, gs, gl)
+            # Reduce to a scalar ON DEVICE (axon cannot materialize some
+            # unbatched outputs, and a scalar fetch is cheap).
+            return jnp.mean(gap_sdr(probe_audio, restored, gapm))
+
+        self._probe = _probe
+
+    def adapt(
+        self,
+        variables: Dict[str, Any],
+        audio: jnp.ndarray,
+        gap_start: int,
+        gap_len: int,
+        seed: int = 0,
+    ) -> Tuple[Dict[str, Any], Dict[str, Any]]:
+        """Adapt the generator to ONE clip; return (probe-best variables,
+        info).
+
+        ``audio``: ``(S,)`` waveform (the gap interval is zeroed internally
+        -- the adaptation sees only deployable information).  The serving
+        ``inpaint_fn`` is reused for the probe so checkpoint selection
+        scores the exact serving path (mode/phase regime included).
+        """
+        cfg = self.cfg
+        sr = cfg.data.sample_rate
+        n_samples = int(audio.shape[-1])
+        gap_start = int(gap_start)
+        gap_len = int(gap_len)
+
+        tmask = gap_ops.gap_mask(n_samples, gap_start, gap_len, dtype=audio.dtype)
+        impaired = audio * tmask
+
+        # Deployable target: AR fill inside the real gap, true samples
+        # elsewhere.
+        max_gap = 1 << (gap_len - 1).bit_length()
+        pseudo_clean = self._ar_fill(
+            impaired, tmask, jnp.asarray(gap_start), jnp.asarray(gap_len),
+            max_gap,
+        )
+
+        # --- probe condition: synthetic gaps away from the real gap ---
+        probe_starts = probe_positions_for(
+            n_samples, gap_start, gap_len, sr, n_probes=self.n_probes
+        )
+        P = len(probe_starts)
+        probe_audio = jnp.tile(pseudo_clean[None], (P, 1))
+        gs = jnp.asarray(probe_starts, jnp.int32)
+        gl = jnp.full((P,), gap_len, jnp.int32)
+        probe_gapm = 1.0 - jax.vmap(
+            lambda s, l: gap_ops.gap_mask(n_samples, s, l)
+        )(gs, gl)
+
+        def probe_score(vars_) -> float:
+            return float(self._probe(vars_, probe_audio, gs, gl, probe_gapm))
+
+        params = variables["params"]
+        batch_stats = variables.get("batch_stats")
+        opt_state = self.init_fn(params)
+
+        train_audio = jnp.tile(pseudo_clean[None], (self.batch, 1))
+        key = jax.random.PRNGKey(seed)
+
+        best = {"step": 0, "score": probe_score(variables)}
+        best_vars = variables
+        trajectory = [(0, best["score"])]
+        for i in range(1, self.steps + 1):
+            key, sub = jax.random.split(key)
+            (params, batch_stats, opt_state), _ = self.step_fn(
+                params, batch_stats, opt_state, train_audio, sub
+            )
+            if i % self.probe_every == 0 or i == self.steps:
+                cand = {"params": params}
+                if batch_stats is not None:
+                    cand["batch_stats"] = batch_stats
+                s = probe_score(cand)
+                trajectory.append((i, s))
+                if s > best["score"]:
+                    best = {"step": i, "score": s}
+                    best_vars = jax.tree_util.tree_map(jnp.array, cand)
+
+        info = {
+            "best_step": best["step"],
+            "best_probe_sdr": round(best["score"], 3),
+            "probe_trajectory": [(int(s), round(v, 3)) for s, v in trajectory],
+            "probe_starts": [int(s) for s in probe_starts],
+        }
+        return best_vars, info
+
+
 def adapt_gan_variables(
     cfg: Config,
     generator,
@@ -169,77 +300,12 @@ def adapt_gan_variables(
     ar_order: int = 512,
     ar_context: int = 4096,
 ) -> Tuple[Dict[str, Any], Dict[str, Any]]:
-    """Adapt the generator to ONE clip; return (probe-best variables, info).
-
-    ``audio``: ``(S,)`` waveform (the gap interval is zeroed internally --
-    the adaptation sees only deployable information).  ``inpaint_fn``: the
-    serving function from :func:`runtime.inference.make_gan_inpaint_fn`,
-    reused for the probe so checkpoint selection scores the exact serving
-    path (mode/phase regime included).
-    """
-    sr = cfg.data.sample_rate
-    n_samples = int(audio.shape[-1])
-    gap_start = int(gap_start)
-    gap_len = int(gap_len)
-
-    tmask = gap_ops.gap_mask(n_samples, gap_start, gap_len, dtype=audio.dtype)
-    impaired = audio * tmask
-
-    # Deployable target: AR fill inside the real gap, true samples elsewhere.
-    max_gap = 1 << (gap_len - 1).bit_length()
-    pseudo_clean = arinpaint(
-        impaired, tmask, jnp.asarray(gap_start), jnp.asarray(gap_len),
-        order=ar_order, context=ar_context, max_gap=max_gap,
+    """One-shot convenience wrapper around :class:`GanClipAdapter` (use the
+    class directly when adapting several clips -- it compiles once)."""
+    adapter = GanClipAdapter(
+        cfg, generator, inpaint_fn,
+        steps=steps, lr=lr, batch=batch, probe_every=probe_every,
+        n_probes=n_probes, n_gaps=n_gaps,
+        ar_order=ar_order, ar_context=ar_context,
     )
-
-    # --- probe condition: synthetic gaps away from the real gap ---
-    probe_starts = probe_positions_for(
-        n_samples, gap_start, gap_len, sr, n_probes=n_probes
-    )
-    P = len(probe_starts)
-    probe_audio = jnp.tile(pseudo_clean[None], (P, 1))
-    gs = jnp.asarray(probe_starts, jnp.int32)
-    gl = jnp.full((P,), gap_len, jnp.int32)
-    probe_gapm = 1.0 - jax.vmap(
-        lambda s, l: gap_ops.gap_mask(n_samples, s, l)
-    )(gs, gl)
-
-    def probe_score(vars_) -> float:
-        restored, _ = inpaint_fn(vars_, probe_audio, gs, gl)
-        # Mean gap-SDR over the probe gaps; reduce on device (axon cannot
-        # materialize some unbatched outputs, and a scalar fetch is cheap).
-        return float(jnp.mean(gap_sdr(probe_audio, restored, probe_gapm)))
-
-    init_fn, step_fn = make_gan_adapt_step(cfg, generator, lr=lr, n_gaps=n_gaps)
-    params = variables["params"]
-    batch_stats = variables.get("batch_stats")
-    opt_state = init_fn(params)
-
-    train_audio = jnp.tile(pseudo_clean[None], (batch, 1))
-    key = jax.random.PRNGKey(seed)
-
-    best = {"step": 0, "score": probe_score(variables)}
-    best_vars = variables
-    trajectory = [(0, best["score"])]
-    for i in range(1, steps + 1):
-        key, sub = jax.random.split(key)
-        (params, batch_stats, opt_state), _ = step_fn(
-            params, batch_stats, opt_state, train_audio, sub
-        )
-        if i % probe_every == 0 or i == steps:
-            cand = {"params": params}
-            if batch_stats is not None:
-                cand["batch_stats"] = batch_stats
-            s = probe_score(cand)
-            trajectory.append((i, s))
-            if s > best["score"]:
-                best = {"step": i, "score": s}
-                best_vars = jax.tree_util.tree_map(jnp.array, cand)
-
-    info = {
-        "best_step": best["step"],
-        "best_probe_sdr": round(best["score"], 3),
-        "probe_trajectory": [(int(s), round(v, 3)) for s, v in trajectory],
-        "probe_starts": [int(s) for s in probe_starts],
-    }
-    return best_vars, info
+    return adapter.adapt(variables, audio, gap_start, gap_len, seed=seed)
