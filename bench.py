@@ -179,6 +179,22 @@ def main() -> None:
         note="axon relay serializes transfers; parity with serialized path expected here",
     )
 
+    # Serving with on-device int16 PCM quantization (ops/pcm.py): the
+    # deliverable format is 16-bit PCM, so quantizing inside the jitted
+    # program and fetching int16 halves the host-fetch bytes -- the
+    # dominant cost on this tunnel-bound serving path.  Quality identical
+    # to fetching f32 and writing PCM on the host (same quantizer).
+    from ml_audio_inpainting_tpu.ops.pcm import to_pcm16
+
+    pcm_fn = jax.jit(lambda v, a, s, l: to_pcm16(fn(v, a, s, l)[0]))
+    dt_pcm = _measure(lambda: pcm_fn(variables, audio, gap_start, gap_len), iters=10)
+    emit(
+        "pcm16_serving_audio_seconds_per_sec",
+        batch * clip_s / dt_pcm,
+        "s_audio/s/chip",
+        note="int16 output fetch (deliverable PCM precision; half the f32 bytes)",
+    )
+
     import functools
 
     from ml_audio_inpainting_tpu.classical.janssen import janssen_gapwise

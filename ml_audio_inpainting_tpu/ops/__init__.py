@@ -30,6 +30,7 @@ from ml_audio_inpainting_tpu.ops.linalg import (
     lpc,
 )
 from ml_audio_inpainting_tpu.ops.lstm import BiLSTM, lstm_scan
+from ml_audio_inpainting_tpu.ops.pcm import from_pcm16, to_pcm16
 from ml_audio_inpainting_tpu.ops.reconstruct import spectrogram_to_audio
 from ml_audio_inpainting_tpu.ops.mel import mel_filterbank, mel_spectrogram, mel_to_audio
 from ml_audio_inpainting_tpu.ops.stft import (
@@ -64,6 +65,8 @@ __all__ = [
     "lpc",
     "BiLSTM",
     "lstm_scan",
+    "to_pcm16",
+    "from_pcm16",
     "spectrogram_to_audio",
     "mel_filterbank",
     "mel_spectrogram",
