@@ -25,7 +25,16 @@ target, or probe.
 
 No reference counterpart: ``model_eval.py:48-195`` serves fixed weights.
 This is the "internal learning" idea (Deep-Image-Prior / ZSSR family) applied
-to audio inpainting, made safe by the probe gate.
+to audio inpainting.
+
+MEASURED RESULT (results/gan_tta_adapt_eval.json, TPU, 9 eval clips): a
+gap-SDR NEGATIVE -- +3.51 dB adapted vs +4.42 unadapted.  The in-clip probe
+is not a faithful proxy: it rises monotonically (2.6-7.5 dB) as the
+generator memorizes the clip's own context, so the gate admits every
+adapted candidate while the real-gap answer degrades 0.9 dB.  LSD and ODG
+improve (1.10 vs 1.36 / -1.23 vs -1.44): adaptation trades waveform
+accuracy inside the gap for spectral-envelope fit to the clip.  Default is
+``--adapt-steps 0``; use only for perceptual-metric-first deployments.
 """
 
 from __future__ import annotations
