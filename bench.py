@@ -195,6 +195,36 @@ def main() -> None:
         note="int16 output fetch (deliverable PCM precision; half the f32 bytes)",
     )
 
+    # End-to-end PCM16 transport loop: int16 host->device upload INSIDE the
+    # timed loop, on-device dequantize -> inpaint -> quantize, int16 fetch.
+    # This is the full production serving transaction (the other lines stage
+    # the input on device outside the timer).
+    from ml_audio_inpainting_tpu.ops.pcm import from_pcm16
+
+    e2e_fn = jax.jit(
+        lambda v, a, s, l: to_pcm16(fn(v, from_pcm16(a), s, l)[0])
+    )
+    host_pcm = np.asarray(to_pcm16(audio))
+    dt_e2e = _measure(
+        lambda: e2e_fn(variables, jnp.asarray(host_pcm), gap_start, gap_len),
+        iters=10,
+    )
+    emit(
+        "pcm16_e2e_transport_audio_seconds_per_sec",
+        batch * clip_s / dt_e2e,
+        "s_audio/s/chip",
+        note="int16 upload + dequant + inpaint + quant + int16 fetch, all timed",
+    )
+
+    # Single-clip (B=1) serving latency: the production latency number for
+    # interactive use. Batched shape (1, S) -- the axon backend cannot
+    # materialize unbatched outputs (CLAUDE.md gotcha).
+    a1, gs1, gl1 = audio[:1], gap_start[:1], gap_len[:1]
+    dt_b1 = _measure(lambda: fn(variables, a1, gs1, gl1)[0], iters=10)
+    emit("gan_serving_latency_ms_b1", 1000.0 * dt_b1, "ms")
+    dt_b1p = _measure(lambda: pcm_fn(variables, a1, gs1, gl1), iters=10)
+    emit("gan_serving_latency_ms_b1_pcm16", 1000.0 * dt_b1p, "ms")
+
     import functools
 
     from ml_audio_inpainting_tpu.classical.janssen import janssen_gapwise
