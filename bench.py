@@ -195,6 +195,24 @@ def main() -> None:
         note="int16 output fetch (deliverable PCM precision; half the f32 bytes)",
     )
 
+    # Best-known serving configuration: bounded window-2 pipelining AND the
+    # int16 fetch combined (both wins are transport-side, so they compose).
+    t0 = time.perf_counter()
+    pending = None
+    for _ in range(iters):
+        nxt = pcm_fn(variables, audio, gap_start, gap_len)
+        if pending is not None:
+            np.asarray(pending)
+        pending = nxt
+    np.asarray(pending)
+    dt_best = (time.perf_counter() - t0) / iters
+    emit(
+        "pcm16_pipelined_w2_audio_seconds_per_sec",
+        batch * clip_s / dt_best,
+        "s_audio/s/chip",
+        note="production serving loop: window-2 overlap + int16 fetch",
+    )
+
     # End-to-end PCM16 transport loop: int16 host->device upload INSIDE the
     # timed loop, on-device dequantize -> inpaint -> quantize, int16 fetch.
     # This is the full production serving transaction (the other lines stage
