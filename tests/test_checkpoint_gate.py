@@ -32,6 +32,10 @@ CNN_EXPECTED = [6.044, 1.294]  # results/cnn_blstm_formant_v2_generalization.jso
 LONGGAP_EXPECTED = [0.905, 1.447]
 #: real-probe-selected checkpoint (results/gan_formant_v2_rp_generalization.json)
 RP_EXPECTED = [4.662, 2.371]
+#: bf16 production-recipe checkpoint (results/gan_bf16_b16_eval.json;
+#: trained --batch-size 16 --train-dtype bf16 --g-ema 0.999; recorded
+#: 2026-08-18, CPU == TPU to 0.01 dB)
+BF16_EXPECTED = [4.929, 2.889]
 #: committed refiner head (results/refine_analysis.json study artifact — an
 #: in-domain head that does NOT transfer to real speech; this gate pins
 #: artifact + inference-path stability, not quality; recorded 2026-08-17 CPU)
@@ -114,6 +118,26 @@ def test_gan_real_probe_checkpoint(tmp_path, clip_dir):
     got = data["results"]["gan"]["gap_sdr_db"]
     for g, e in zip(got, RP_EXPECTED):
         assert abs(g - e) < TOL, (got, RP_EXPECTED)
+
+
+def test_gan_bf16_recipe_checkpoint(tmp_path, clip_dir):
+    """The round-3 bf16 production-recipe checkpoint (+4.29 claim: the
+    fastest training configuration — B=16, --train-dtype bf16,
+    --g-ema 0.999 — is quality-neutral)."""
+    data = _run_evaluate(
+        tmp_path, clip_dir,
+        [
+            "--models", "gan",
+            "--config", str(REPO / "configs/gan.yaml"),
+            "--checkpoint",
+            str(REPO / "results/checkpoints/gan_formant_v2_bf16_r3.npz"),
+            "--mode", "enhanced",
+        ],
+    )
+    got = data["results"]["gan"]["gap_sdr_db"]
+    for g, e in zip(got, BF16_EXPECTED):
+        assert abs(g - e) < TOL, (got, BF16_EXPECTED)
+    assert min(data["results"]["gan"]["psm"]) > 0.99
 
 
 def test_refiner_checkpoint_drift_gate(tmp_path, clip_dir):
