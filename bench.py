@@ -52,7 +52,10 @@ def main() -> None:
     from ml_audio_inpainting_tpu.train.gan_trainer import build_generator
     from ml_audio_inpainting_tpu.utils.config import Config, SpectrogramConfig
 
-    run_all = "--all" in sys.argv
+    # --all: every BASELINE.json config + train sections. --serving: the
+    # canonical line + the serving-transport lines only (cheap re-capture).
+    run_serving = "--serving" in sys.argv
+    run_all = "--all" in sys.argv or run_serving
 
     cfg = Config()
     cfg.data.spectrogram = SpectrogramConfig(n_fft=512, hop_length=128, win_length=512)
@@ -243,6 +246,9 @@ def main() -> None:
     dt_b1p = _measure(lambda: pcm_fn(variables, a1, gs1, gl1), iters=10)
     emit("gan_serving_latency_ms_b1_pcm16", 1000.0 * dt_b1p, "ms")
 
+    if run_serving and "--all" not in sys.argv:
+        return
+
     import functools
 
     from ml_audio_inpainting_tpu.classical.janssen import janssen_gapwise
@@ -420,5 +426,5 @@ if __name__ == "__main__":
     # --all runs many configs (several compiles); the canonical run is one
     # compile + 10 repeats.  Generous bounds: first TPU compile alone can
     # take minutes through the remote-compile tunnel.
-    _watchdog(3600 if "--all" in sys.argv else 1800)
+    _watchdog(3600 if ("--all" in sys.argv or "--serving" in sys.argv) else 1800)
     main()
