@@ -9,6 +9,15 @@ is value / 100, the multiple of the BASELINE.json north-star target of
 >=100x realtime per chip (the reference records no throughput numbers of
 its own -- BASELINE.md).
 
+The canonical value measures the PRODUCTION serving loop (round 3+):
+window-2 pipelined dispatch + on-device int16 PCM quantization
+(``ops/pcm.py``) so the host fetches the deliverable 16-bit format.  The
+round-1/2 serialized-f32 number is still measured and reported in the
+same JSON line (``serialized_f32_s_audio_per_s``) for cross-round
+continuity; ``mode`` names the loop. Both changes are transport-side
+only -- the compiled inpainting graph is identical and the delivered
+audio is bit-identical to writing 16-bit PCM from an f32 fetch.
+
 ``--all`` additionally measures the other BASELINE.json configs (one JSON
 line each, after the canonical line): STFT+gap preprocessing, CNN+BiLSTM
 inference, classical Janssen inference, and CNN+BiLSTM training throughput.
@@ -81,12 +90,39 @@ def main() -> None:
     )
     fn = make_gan_inpaint_fn(cfg, gen)
 
-    # Dispersion matters: the host-link-bound serving number swings with
-    # relay load (270-385 s-audio/s observed across round captures), so the
-    # canonical line carries median + IQR over the individual repeats.
+    # The serialized f32-fetch path: kept as an explicit JSON field for
+    # continuity with the round-1/2 captures (it was the canonical value
+    # through round 2).
     times = _measure_times(lambda: fn(variables, audio, gap_start, gap_len)[0], iters=10)
-    dt = float(np.median(times))
-    q1, q3 = np.percentile(batch * clip_s / times, [25, 75])
+    dt_serial = float(np.median(times))
+    serial_value = batch * clip_s / dt_serial
+
+    # CANONICAL (round 3+): the production serving loop — window-2
+    # pipelined dispatch with int16 PCM output fetched on the wire
+    # (ops/pcm.py; the deliverable format, half the f32 bytes).  Both wins
+    # are transport-side and compose (results/README.md round-3 captures:
+    # 470 serialized -> 1239 combined on a quiet relay).  Measured as 5
+    # repeats of a 10-deep loop; median + IQR over the repeats because the
+    # host-link-bound number swings with relay load.
+    from ml_audio_inpainting_tpu.ops.pcm import to_pcm16
+
+    pcm_fn = jax.jit(lambda v, a, s, l: to_pcm16(fn(v, a, s, l)[0]))
+
+    def _w2_pass(n=10):
+        t0 = time.perf_counter()
+        pending = None
+        for _ in range(n):
+            nxt = pcm_fn(variables, audio, gap_start, gap_len)
+            if pending is not None:
+                np.asarray(pending)
+            pending = nxt
+        np.asarray(pending)
+        return (time.perf_counter() - t0) / n
+
+    _w2_pass(n=2)  # warmup / compile
+    rep_times = np.asarray([_w2_pass() for _ in range(5)])
+    dt = float(np.median(rep_times))
+    q1, q3 = np.percentile(batch * clip_s / rep_times, [25, 75])
     value = batch * clip_s / dt
 
     # MFU: compiled-graph FLOPs (XLA cost analysis) over chip peak.  The
@@ -137,8 +173,10 @@ def main() -> None:
                 "value": round(value, 2),
                 "unit": "s_audio/s/chip",
                 "vs_baseline": round(value / 100.0, 3),
+                "mode": "pipelined_w2_pcm16",
+                "serialized_f32_s_audio_per_s": round(serial_value, 2),
                 "batch": batch,
-                "n_repeats": len(times),
+                "n_repeats": len(rep_times),
                 "iqr": [round(float(q1), 2), round(float(q3), 2)],
                 "mfu": mfu,
                 "device_kind": device_kind,
@@ -182,14 +220,9 @@ def main() -> None:
         note="axon relay serializes transfers; parity with serialized path expected here",
     )
 
-    # Serving with on-device int16 PCM quantization (ops/pcm.py): the
-    # deliverable format is 16-bit PCM, so quantizing inside the jitted
-    # program and fetching int16 halves the host-fetch bytes -- the
-    # dominant cost on this tunnel-bound serving path.  Quality identical
-    # to fetching f32 and writing PCM on the host (same quantizer).
-    from ml_audio_inpainting_tpu.ops.pcm import to_pcm16
-
-    pcm_fn = jax.jit(lambda v, a, s, l: to_pcm16(fn(v, a, s, l)[0]))
+    # Serving with the int16 PCM fetch alone (serialized dispatch), to
+    # separate the two composing transport wins in the canonical line.
+    # pcm_fn was built (and compiled) for the canonical measurement above.
     dt_pcm = _measure(lambda: pcm_fn(variables, audio, gap_start, gap_len), iters=10)
     emit(
         "pcm16_serving_audio_seconds_per_sec",
