@@ -60,6 +60,7 @@ __all__ = [
     "make_gan_inpaint_mask_fn",
     "make_cnn_inpaint_mask_fn",
     "make_tta_shift_fn",
+    "make_sharded_serving_fn",
     "route_checkpoint",
 ]
 
@@ -449,5 +450,41 @@ def make_cnn_inpaint_fn(
             tmask, phase_mode, gl_iters, kw, n_samples,
         )
         return restored, composited
+
+    return fn
+
+
+def make_sharded_serving_fn(inpaint_fn: Callable, mesh) -> Callable:
+    """Scale any jitted inpaint fn to data-parallel serving over a mesh.
+
+    The returned callable has the same ``(variables, audio, gap_start,
+    gap_len)`` signature; it replicates the weights and shards the batch
+    (leading axis) over the mesh's ``data`` axis, so the jitted program XLA
+    emits is a DP partition of the single-device graph — identical math on
+    each shard, no collectives on the forward path (inpainting has no
+    cross-example coupling). The global batch must be divisible by the
+    ``data`` axis size.
+
+    The reference serves single-device only (``model_eval.py:48-195``,
+    ``cuda if available``); this is the serving-side counterpart of the
+    DP×TP training sharding proven in ``tests/test_parallel.py`` /
+    ``__graft_entry__.dryrun_multichip``.
+    """
+    from ml_audio_inpainting_tpu.parallel.mesh import batch_sharding, replicated
+
+    bs = batch_sharding(mesh)
+    rep = replicated(mesh)
+
+    def fn(variables, audio, gap_start, gap_len):
+        n_data = mesh.shape["data"]
+        if audio.shape[0] % n_data != 0:
+            raise ValueError(
+                f"batch {audio.shape[0]} not divisible by data axis {n_data}"
+            )
+        variables = jax.device_put(variables, rep)
+        audio = jax.device_put(audio, bs)
+        gap_start = jax.device_put(gap_start, bs)
+        gap_len = jax.device_put(gap_len, bs)
+        return inpaint_fn(variables, audio, gap_start, gap_len)
 
     return fn

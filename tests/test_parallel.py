@@ -111,3 +111,64 @@ class TestShardedTraining:
             state, m = step(state, audio, jax.random.PRNGKey(i % 2))
             losses.append(float(m["loss"]))
         assert losses[-1] < losses[0]
+
+
+class TestShardedServing:
+    def test_sharded_serving_matches_single_device(self, speech_like):
+        """DP-sharded serving must return exactly what the single-device
+        program returns (no cross-example coupling on the forward path)."""
+        from ml_audio_inpainting_tpu.runtime.inference import (
+            make_gan_inpaint_fn,
+            make_sharded_serving_fn,
+        )
+        from ml_audio_inpainting_tpu.train.gan_trainer import build_generator
+
+        cfg = Config()
+        cfg.data.spectrogram = SpectrogramConfig(
+            n_fft=512, hop_length=128, win_length=512
+        )
+        cfg.data.max_len_s = 1.0
+        gen = build_generator(cfg)
+        B, S = 8, 16000
+        audio = jnp.asarray(
+            np.stack([speech_like[i * S:(i + 1) * S] for i in range(5)] +
+                     [speech_like[:S]] * 3)
+        )
+        n_frames = S // 128 + 1
+        variables = gen.init(
+            jax.random.PRNGKey(0),
+            jnp.zeros((1, 257, n_frames)),
+            jnp.ones((1, 257, n_frames)),
+            train=False,
+        )
+        gs = jnp.asarray(np.linspace(2000, 10000, B).astype(np.int32))
+        gl = jnp.full((B,), 1280, jnp.int32)
+
+        fn = make_gan_inpaint_fn(cfg, gen)
+        single, _ = fn(variables, audio, gs, gl)
+
+        mesh = make_mesh()
+        sharded_fn = make_sharded_serving_fn(fn, mesh)
+        sharded, _ = sharded_fn(variables, audio, gs, gl)
+        np.testing.assert_allclose(
+            np.asarray(sharded), np.asarray(single), atol=2e-6
+        )
+
+    def test_sharded_serving_rejects_indivisible_batch(self, speech_like):
+        from ml_audio_inpainting_tpu.runtime.inference import (
+            make_gan_inpaint_fn,
+            make_sharded_serving_fn,
+        )
+        from ml_audio_inpainting_tpu.train.gan_trainer import build_generator
+
+        cfg = Config()
+        cfg.data.spectrogram = SpectrogramConfig(
+            n_fft=512, hop_length=128, win_length=512
+        )
+        cfg.data.max_len_s = 1.0
+        gen = build_generator(cfg)
+        fn = make_gan_inpaint_fn(cfg, gen)
+        sharded_fn = make_sharded_serving_fn(fn, make_mesh())
+        bad = jnp.zeros((3, 16000))
+        with pytest.raises(ValueError, match="not divisible"):
+            sharded_fn({}, bad, jnp.zeros(3, jnp.int32), jnp.zeros(3, jnp.int32))
