@@ -80,7 +80,8 @@ def build_argparser() -> argparse.ArgumentParser:
                         "generator for N steps on the clip's own clean "
                         "context (real gap AR-filled, synthetic training "
                         "gaps, in-clip probe gate -- runtime/adapt.py); "
-                        "0 = off")
+                        "0 = off. Measured gap-SDR NEGATIVE (-0.9 dB; "
+                        "LSD/ODG improve) -- results/gan_tta_adapt_eval.json")
     p.add_argument("--adapt-lr", type=float, default=5e-5)
     p.add_argument("--adapt-batch", type=int, default=8)
     p.add_argument("--adapt-probe-every", type=int, default=25)
