@@ -249,6 +249,37 @@ def main() -> None:
         note="production serving loop: window-2 overlap + int16 fetch",
     )
 
+    # All serving levers composed: B=64 bf16 generator compute (fits HBM
+    # where f32 does not; quality-neutral, results/gan_v2_bf16_serving.json)
+    # + int16 fetch + window-2 pipelining.
+    try:
+        if batch != 32:
+            raise RuntimeError("b64 probe only in canonical mode")
+        fn64b = make_gan_inpaint_fn(cfg, gen, compute_dtype=jnp.bfloat16)
+        pcm64 = jax.jit(lambda v, a, s, l: to_pcm16(fn64b(v, a, s, l)[0]))
+        ds64b = SyntheticSpeechDataset(n_items=64, max_len_s=clip_s)
+        a64 = jnp.asarray(np.stack([ds64b[i] for i in range(64)]))
+        gs64b = jnp.full((64,), 32000, jnp.int32)
+        gl64b = jnp.full((64,), 1280, jnp.int32)
+        np.asarray(pcm64(variables, a64, gs64b, gl64b))  # warmup/compile
+        t0 = time.perf_counter()
+        pending = None
+        for _ in range(iters):
+            nxt = pcm64(variables, a64, gs64b, gl64b)
+            if pending is not None:
+                np.asarray(pending)
+            pending = nxt
+        np.asarray(pending)
+        dt64w = (time.perf_counter() - t0) / iters
+        emit(
+            "pcm16_pipelined_w2_b64_bf16_audio_seconds_per_sec",
+            64 * clip_s / dt64w,
+            "s_audio/s/chip",
+            note="all serving levers: B=64 + bf16 compute + int16 fetch + w2 overlap",
+        )
+    except Exception:
+        pass
+
     # End-to-end PCM16 transport loop: int16 host->device upload INSIDE the
     # timed loop, on-device dequantize -> inpaint -> quantize, int16 fetch.
     # This is the full production serving transaction (the other lines stage
