@@ -50,6 +50,11 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--ar-method", choices=["lpc", "arburg"], default="lpc")
     p.add_argument("--eval", action="store_true",
                    help="score the probe winner on the eval clips")
+    p.add_argument("--eval-all", action="store_true",
+                   help="ANALYSIS ONLY: score every grid config on the eval "
+                        "clips too, to measure how well the probe ranking "
+                        "transfers (the honest deployable number remains the "
+                        "probe winner's eval score)")
     p.add_argument("--input", default=None, help="eval clips dir (default: bundled samples)")
     p.add_argument("--config", default=None)
     p.add_argument("--output-json", default=None)
@@ -108,6 +113,19 @@ def main(argv=None) -> None:
         restored = runner(audio, gs, gl)
         return float(jnp.mean(gap_sdr(audio, restored, gapm)))
 
+    eval_pack = None
+    if args.eval or args.eval_all:
+        eval_dir = Path(args.input or "/root/reference/test_samples")
+        files = _collect(eval_dir)
+        clean = np.stack([
+            load_audio(f, sample_rate=sr, max_len=cfg.data.max_len_s)[0]
+            for f in files
+        ])
+        egs = jnp.full((len(files),), int(args.gap_start * sr), jnp.int32)
+        egl = jnp.full((len(files),), int(args.gap_len * sr), jnp.int32)
+        egapm = 1.0 - jax.vmap(lambda s, l: gap_mask(clean.shape[-1], s, l))(egs, egl)
+        eval_pack = (files, jnp.asarray(clean), egs, egl, egapm)
+
     rows = []
     best = None
     for conf in _grid(args):
@@ -120,6 +138,9 @@ def main(argv=None) -> None:
         probe_db = score(runner, clips_j, gs, gl, gapm)
         row = {**conf, "probe_mean_db": round(probe_db, 3),
                "elapsed_s": round(time.perf_counter() - t0, 1)}
+        if args.eval_all:
+            _, eclean, egs, egl, egapm = eval_pack
+            row["eval_mean_db"] = round(score(runner, eclean, egs, egl, egapm), 3)
         rows.append(row)
         print(row)
         if best is None or probe_db > best[0]:
@@ -138,17 +159,9 @@ def main(argv=None) -> None:
         "probe_best": {**best_conf, "probe_mean_db": round(probe_best, 3)},
     }
 
-    if args.eval:
-        eval_dir = Path(args.input or "/root/reference/test_samples")
-        files = _collect(eval_dir)
-        clean = np.stack([
-            load_audio(f, sample_rate=sr, max_len=cfg.data.max_len_s)[0]
-            for f in files
-        ])
-        egs = jnp.full((len(files),), int(args.gap_start * sr), jnp.int32)
-        egl = jnp.full((len(files),), int(args.gap_len * sr), jnp.int32)
-        egapm = 1.0 - jax.vmap(lambda s, l: gap_mask(clean.shape[-1], s, l))(egs, egl)
-        eval_db = score(best_runner, jnp.asarray(clean), egs, egl, egapm)
+    if args.eval or args.eval_all:
+        files, eclean, egs, egl, egapm = eval_pack
+        eval_db = score(best_runner, eclean, egs, egl, egapm)
         out["eval"] = {
             "files": [f.name for f in files],
             "gap_start_s": args.gap_start,
