@@ -409,10 +409,15 @@ def main() -> None:
     vgg_pack = vgg19_params() if use_vgg else None
     # f32 at the quality batch and the sweet spot, then bf16 mixed precision
     # (--train-dtype bf16) at the same batches to record the MXU/HBM win.
+    # B=32 is the single-chip training record regime (the bench inputs are
+    # already device-resident, which is exactly what `--train ... --feed
+    # device` provides in production; the old 0.88-1.02 steps/s B=32 record
+    # was the STREAMED feed's 10 MB/step host upload, not an HBM spill --
+    # XLA memory_analysis puts the full fused step at 9.6 GiB bf16).
     for dtype_tag, compute_dtype in (("", None), ("_bf16", jnp.bfloat16)):
         g_state, d_state = create_gan_states(cfg, jax.random.PRNGKey(0))
         gstep = make_gan_train_step(cfg, vgg=vgg_pack, compute_dtype=compute_dtype)
-        for gb in (4, 16):
+        for gb in (4, 16, 32):
             if gb > batch:
                 continue
             gaudio = audio[:gb]

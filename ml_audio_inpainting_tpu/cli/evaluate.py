@@ -61,6 +61,11 @@ def build_argparser() -> argparse.ArgumentParser:
                    help="blend parameter: floor c for linear, steepness k "
                         "for sigmoid (0 = family default)")
     p.add_argument("--maxit", type=int, default=10)
+    p.add_argument("--ar-preset", choices=["default", "tuned"],
+                   default="default",
+                   help="'tuned' deploys the measured per-gap-length "
+                        "champion configs for the classical solvers "
+                        "(classical/presets.py; overrides the --ar-* flags)")
     p.add_argument("--ar-method", choices=["lpc", "arburg"], default="lpc")
     p.add_argument("--mode", choices=["parity", "enhanced"], default="parity")
     p.add_argument("--infer-dtype", choices=["f32", "bf16"], default="f32",

@@ -87,6 +87,14 @@ def build_argparser() -> argparse.ArgumentParser:
                    help="blend parameter: floor c for linear, steepness k "
                         "for sigmoid (0 = family default)")
     p.add_argument("--maxit", type=int, default=10)
+    p.add_argument("--ar-preset", choices=["default", "tuned"],
+                   default="default",
+                   help="'tuned' deploys the measured per-gap-length "
+                        "champion configs for the classical solvers "
+                        "(classical/presets.py: 40 ms +3.42 dB vs defaults' "
+                        "+3.13, 80 ms +2.84 vs +2.55; >=160 ms keeps the "
+                        "defaults -- results/ar_tuned_per_length.json). "
+                        "Overrides the individual --ar-* flags")
     p.add_argument("--ar-method", choices=["lpc", "arburg"], default="lpc")
     p.add_argument("--batch-size", type=int, default=8)
     p.add_argument("--basis", type=str, default=None,
@@ -208,6 +216,24 @@ def main(argv=None) -> None:
 def _build_runner(args, cfg, n_samples: int):
     """Returns fn(audio (B,S), gap_start (B,), gap_len (B,)) -> (B,S)."""
     from ml_audio_inpainting_tpu.ops.gaps import gap_mask
+
+    if getattr(args, "ar_preset", "default") == "tuned":
+        # Apply the measured per-condition champion configs
+        # (classical/presets.py; results/ar_tuned_per_length.json).  Only
+        # the classical solvers have measured presets; explicit CLI values
+        # are overridden (the preset IS the measured selection).
+        from ml_audio_inpainting_tpu.classical.presets import (
+            tuned_arinpaint_preset,
+            tuned_janssen_preset,
+        )
+
+        picker = {
+            "arinpaint": tuned_arinpaint_preset,
+            "janssen": tuned_janssen_preset,
+        }.get(args.model)
+        if picker is not None:
+            for k, v in picker(float(args.gap_len)).items():
+                setattr(args, k, v)
 
     if getattr(args, "infer_dtype", "f32") == "bf16" and args.model != "gan":
         # bf16 serving is wired for the conv-heavy GAN generator; the other

@@ -46,13 +46,18 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--valid-batches", type=int, default=4)
     p.add_argument("--workers", type=int, default=4,
                    help="host decode threads (reference DataLoader num_workers=4)")
-    p.add_argument("--feed", choices=["stream", "device"], default="stream",
+    p.add_argument("--feed", choices=["auto", "stream", "device"],
+                   default="auto",
                    help="input pipeline: 'stream' decodes+uploads each batch "
                         "(bounded prefetch); 'device' uploads the WHOLE corpus "
                         "to HBM once and gathers batches on-device -- removes "
                         "the per-step host upload (the large-batch bottleneck "
-                        "on a tunneled link). Requires the corpus to fit HBM "
-                        "(a 2000x5s clip corpus is 610 MiB).")
+                        "on a tunneled link; B=32 bf16 measured 4.2 vs 1.0 "
+                        "steps/s streamed). Requires the corpus to fit HBM "
+                        "(a 2000x5s clip corpus is 610 MiB). 'auto' (default) "
+                        "picks 'device' when the corpus is <=2 GiB f32, else "
+                        "'stream'. Epoch ordering is bit-identical across "
+                        "feeds, so the choice is throughput-only.")
     p.add_argument("--train-n-gaps", type=int, default=None,
                    help="train with N spacing-constrained gaps per clip "
                         "(IRMAS-style) instead of the reference's single gap")
@@ -346,7 +351,18 @@ def main(argv=None) -> None:
             )
 
     epochs = cfg.training.epochs if args.model == "gan" else cfg.training.max_n_epochs
-    if args.feed == "device":
+    feed_mode = args.feed
+    if feed_mode == "auto":
+        # The two feeds yield bit-identical epoch orderings (pipeline.py),
+        # so this is purely a throughput choice: device-resident wins
+        # whenever the corpus fits HBM next to the training step.
+        corpus_bytes = len(dataset) * cfg.data.max_samples * 4
+        feed_mode = "device" if corpus_bytes <= 2 * 1024**3 else "stream"
+        run.logger.info(
+            "feed auto -> %s (corpus ~%.0f MiB f32)",
+            feed_mode, corpus_bytes / 2**20,
+        )
+    if feed_mode == "device":
         from ml_audio_inpainting_tpu.data.pipeline import device_corpus_feed
 
         feed = device_corpus_feed(

@@ -1,0 +1,98 @@
+"""Measured per-condition classical presets (classical/presets.py).
+
+The ``tuned`` preset hard-codes the probe-selected champion configs from
+``results/ar_tuned_per_length.json`` (cli/ar_tune.py protocol); these tests
+pin the tables to the recorded winners and check the CLI plumbing applies
+them to the solver args.
+"""
+
+import argparse
+
+import jax.numpy as jnp
+import numpy as np
+
+from ml_audio_inpainting_tpu.classical.presets import (
+    tuned_arinpaint_preset,
+    tuned_janssen_preset,
+)
+
+
+class TestPresetTables:
+    def test_40ms_winner(self):
+        p = tuned_arinpaint_preset(0.04)
+        assert p == {
+            "ar_order": 256,
+            "ar_context": 4096,
+            "ar_blend": "linear",
+            "ar_blend_param": 0.2,
+        }
+
+    def test_80ms_winner(self):
+        p = tuned_arinpaint_preset(0.08)
+        assert p == {
+            "ar_order": 512,
+            "ar_context": 8192,
+            "ar_blend": "sigmoid",
+            "ar_blend_param": 2.0,
+        }
+
+    def test_long_gaps_keep_defaults(self):
+        # >=160 ms: measured within ~0.15 dB of oracle; preset is a no-op.
+        assert tuned_arinpaint_preset(0.16) == {}
+        assert tuned_arinpaint_preset(0.5) == {}
+
+    def test_janssen_short_champion(self):
+        assert tuned_janssen_preset(0.08) == {"ar_context": 8192, "maxit": 5}
+        assert tuned_janssen_preset(0.16) == {"ar_context": 8192, "maxit": 5}
+        assert tuned_janssen_preset(0.32) == {}
+
+
+def _cli_args(model: str, gap_len: float, preset: str) -> argparse.Namespace:
+    from ml_audio_inpainting_tpu.cli.inpaint import build_argparser
+
+    args = build_argparser().parse_args(
+        ["--model", model, "--input", "unused", "--output", "unused",
+         "--gap-len", str(gap_len), "--ar-preset", preset]
+    )
+    return args
+
+
+class TestRunnerPlumbing:
+    def test_tuned_overrides_args_and_solves(self):
+        from ml_audio_inpainting_tpu.cli.inpaint import _build_runner
+        from ml_audio_inpainting_tpu.utils.config import Config
+
+        cfg = Config()
+        args = _cli_args("arinpaint", 0.04, "tuned")
+        runner = _build_runner(args, cfg, n_samples=16000)
+        assert args.ar_order == 256 and args.ar_blend == "linear"
+        assert args.ar_blend_param == 0.2
+
+        # The tuned runner must actually reconstruct a sinusoid's gap.
+        t = np.arange(16000) / 16000.0
+        clean = np.sin(2 * np.pi * 220.0 * t).astype(np.float32)[None]
+        gs = jnp.asarray([8000], jnp.int32)
+        gl = jnp.asarray([640], jnp.int32)  # 40 ms
+        out = np.asarray(runner(jnp.asarray(clean), gs, gl))
+        gap = slice(8000, 8640)
+        err = clean[0, gap] - out[0, gap]
+        sdr = 10 * np.log10(
+            np.sum(clean[0, gap] ** 2) / max(np.sum(err**2), 1e-12)
+        )
+        assert sdr > 10.0  # a stationary tone is easy for AR extrapolation
+
+    def test_default_preset_is_a_noop(self):
+        from ml_audio_inpainting_tpu.cli.inpaint import _build_runner
+        from ml_audio_inpainting_tpu.utils.config import Config
+
+        args = _cli_args("arinpaint", 0.04, "default")
+        _build_runner(args, Config(), n_samples=16000)
+        assert args.ar_order == 512 and args.ar_blend == "cos2"
+
+    def test_tuned_leaves_long_gap_args_alone(self):
+        from ml_audio_inpainting_tpu.cli.inpaint import _build_runner
+        from ml_audio_inpainting_tpu.utils.config import Config
+
+        args = _cli_args("janssen", 0.32, "tuned")
+        _build_runner(args, Config(), n_samples=16000)
+        assert args.maxit == 10 and args.ar_context == 4096
