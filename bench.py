@@ -49,6 +49,59 @@ def _measure(fn, *args, iters=10, warmup=1):
     return float(np.median(_measure_times(fn, *args, iters=iters, warmup=warmup)))
 
 
+def _link_probe(jax, jnp, mb: float = 8.0):
+    """Fixed-size host<->device transfer probe (VERDICT r3 #5).
+
+    The canonical serving number is host-link-bound in this environment and
+    swings 1.5x across captures with relay load; these fields make every
+    capture carry its own link state so cross-round comparisons can separate
+    code regressions from relay weather.  On the axon platform
+    ``block_until_ready`` returns early, so a 1-element reduction fetch is
+    the completion barrier: ``up`` therefore includes one RTT + a trivial
+    reduce (negligible vs the 8 MB payload).
+    """
+    import time as _time
+
+    n = int(mb * 1024 * 1024 // 4)
+    host = np.random.default_rng(0).standard_normal(n).astype(np.float32)
+    reduce_fn = jax.jit(jnp.sum)
+    # The download probe must fetch a COMPUTED device array: fetching the
+    # uploaded array back would be served from its committed host copy
+    # without touching the wire (first capture measured a bogus 131 GB/s).
+    dev = jax.jit(lambda x: x + 1.0)(jnp.asarray(host))
+    np.asarray(reduce_fn(dev))  # compile + settle
+
+    tiny = jnp.zeros((8,), jnp.float32)
+    np.asarray(reduce_fn(tiny))
+    rtts = []
+    for _ in range(5):
+        t0 = _time.perf_counter()
+        np.asarray(reduce_fn(tiny))
+        rtts.append(_time.perf_counter() - t0)
+    rtt_ms = 1000.0 * float(np.median(rtts))
+
+    downs = []
+    for _ in range(3):
+        t0 = _time.perf_counter()
+        np.asarray(dev)
+        downs.append(_time.perf_counter() - t0)
+    down_mbps = mb / float(np.median(downs))
+
+    ups = []
+    for _ in range(3):
+        t0 = _time.perf_counter()
+        d = jnp.asarray(host)
+        np.asarray(reduce_fn(d))
+        ups.append(_time.perf_counter() - t0)
+    up_mbps = mb / float(np.median(ups))
+
+    return {
+        "link_down_mbps": round(down_mbps, 1),
+        "link_up_mbps": round(up_mbps, 1),
+        "link_rtt_ms": round(rtt_ms, 2),
+    }
+
+
 def main() -> None:
     from ml_audio_inpainting_tpu.utils.platform import apply_platform_env
 
@@ -63,8 +116,12 @@ def main() -> None:
 
     # --all: every BASELINE.json config + train sections. --serving: the
     # canonical line + the serving-transport lines only (cheap re-capture).
+    # --train: the canonical line + the train-throughput/MFU lines only
+    # (cheap re-capture after a training-step optimization).
     run_serving = "--serving" in sys.argv
-    run_all = "--all" in sys.argv or run_serving
+    run_train = "--train" in sys.argv
+    run_all = "--all" in sys.argv
+    run_any = run_all or run_serving or run_train
 
     cfg = Config()
     cfg.data.spectrogram = SpectrogramConfig(n_fft=512, hop_length=128, win_length=512)
@@ -89,6 +146,10 @@ def main() -> None:
         train=False,
     )
     fn = make_gan_inpaint_fn(cfg, gen)
+
+    # Link-state instrumentation: measured BEFORE the workload so the
+    # canonical line records the relay weather it was captured under.
+    link = _link_probe(jax, jnp)
 
     # The serialized f32-fetch path: kept as an explicit JSON field for
     # continuity with the round-1/2 captures (it was the canonical value
@@ -181,11 +242,12 @@ def main() -> None:
                 "mfu": mfu,
                 "device_kind": device_kind,
                 "b64_bf16_s_audio_per_s": b64_value,
+                **link,
             }
         )
     )
 
-    if not run_all:
+    if not run_any:
         return
 
     def emit(metric, value, unit, **extra):
@@ -193,124 +255,159 @@ def main() -> None:
             {"metric": metric, "value": round(value, 2), "unit": unit, **extra}
         ))
 
-    # Pipelined serving throughput, bounded in-flight window of 2: dispatch
-    # batch i+1 before draining batch i so device compute can overlap the
-    # host transfer.  The round-2 unbounded dispatch-all-then-drain variant
-    # measured 2.2x SLOWER than the serialized path -- queued
-    # materializations serialize at the axon relay, so an unbounded queue
-    # only adds relay contention.  The window-2 form is the pattern a real
-    # serving loop uses; on this tunneled environment it measures at parity
-    # with the serialized path (the relay admits one transfer at a time),
-    # which the `note` field records.
-    iters = 10
-    t0 = time.perf_counter()
-    pending = None
-    for _ in range(iters):
-        nxt = fn(variables, audio, gap_start, gap_len)[0]
-        if pending is not None:
-            np.asarray(pending)
-        pending = nxt
-    np.asarray(pending)
-    dt_pipe = (time.perf_counter() - t0) / iters
-    emit(
-        "pipelined_inference_audio_seconds_per_sec",
-        batch * clip_s / dt_pipe,
-        "s_audio/s/chip",
-        window=2,
-        note="axon relay serializes transfers; parity with serialized path expected here",
-    )
-
-    # Serving with the int16 PCM fetch alone (serialized dispatch), to
-    # separate the two composing transport wins in the canonical line.
-    # pcm_fn was built (and compiled) for the canonical measurement above.
-    dt_pcm = _measure(lambda: pcm_fn(variables, audio, gap_start, gap_len), iters=10)
-    emit(
-        "pcm16_serving_audio_seconds_per_sec",
-        batch * clip_s / dt_pcm,
-        "s_audio/s/chip",
-        note="int16 output fetch (deliverable PCM precision; half the f32 bytes)",
-    )
-
-    # Best-known serving configuration: bounded window-2 pipelining AND the
-    # int16 fetch combined (both wins are transport-side, so they compose).
-    t0 = time.perf_counter()
-    pending = None
-    for _ in range(iters):
-        nxt = pcm_fn(variables, audio, gap_start, gap_len)
-        if pending is not None:
-            np.asarray(pending)
-        pending = nxt
-    np.asarray(pending)
-    dt_best = (time.perf_counter() - t0) / iters
-    emit(
-        "pcm16_pipelined_w2_audio_seconds_per_sec",
-        batch * clip_s / dt_best,
-        "s_audio/s/chip",
-        note="production serving loop: window-2 overlap + int16 fetch",
-    )
-
-    # All serving levers composed: B=64 bf16 generator compute (fits HBM
-    # where f32 does not; quality-neutral, results/gan_v2_bf16_serving.json)
-    # + int16 fetch + window-2 pipelining.
-    try:
-        if batch != 32:
-            raise RuntimeError("b64 probe only in canonical mode")
-        fn64b = make_gan_inpaint_fn(cfg, gen, compute_dtype=jnp.bfloat16)
-        pcm64 = jax.jit(lambda v, a, s, l: to_pcm16(fn64b(v, a, s, l)[0]))
-        ds64b = SyntheticSpeechDataset(n_items=64, max_len_s=clip_s)
-        a64 = jnp.asarray(np.stack([ds64b[i] for i in range(64)]))
-        gs64b = jnp.full((64,), 32000, jnp.int32)
-        gl64b = jnp.full((64,), 1280, jnp.int32)
-        np.asarray(pcm64(variables, a64, gs64b, gl64b))  # warmup/compile
+    if run_all or run_serving:
+        # Pipelined serving throughput, bounded in-flight window of 2:
+        # dispatch batch i+1 before draining batch i so device compute can
+        # overlap the host transfer.  The round-2 unbounded
+        # dispatch-all-then-drain variant measured 2.2x SLOWER than the
+        # serialized path -- queued materializations serialize at the axon
+        # relay, so an unbounded queue only adds relay contention.  The
+        # bounded window-2 form is the production serving loop and measures
+        # 1.4-2.6x the serialized path across TPU captures (the device
+        # computes batch i+1 while the host drains batch i; the spread is
+        # relay weather -- see the link_* fields).
+        iters = 10
         t0 = time.perf_counter()
         pending = None
         for _ in range(iters):
-            nxt = pcm64(variables, a64, gs64b, gl64b)
+            nxt = fn(variables, audio, gap_start, gap_len)[0]
             if pending is not None:
                 np.asarray(pending)
             pending = nxt
         np.asarray(pending)
-        dt64w = (time.perf_counter() - t0) / iters
+        dt_pipe = (time.perf_counter() - t0) / iters
         emit(
-            "pcm16_pipelined_w2_b64_bf16_audio_seconds_per_sec",
-            64 * clip_s / dt64w,
+            "pipelined_inference_audio_seconds_per_sec",
+            batch * clip_s / dt_pipe,
             "s_audio/s/chip",
-            note="all serving levers: B=64 + bf16 compute + int16 fetch + w2 overlap",
+            window=2,
         )
-    except Exception:
-        pass
 
-    # End-to-end PCM16 transport loop: int16 host->device upload INSIDE the
-    # timed loop, on-device dequantize -> inpaint -> quantize, int16 fetch.
-    # This is the full production serving transaction (the other lines stage
-    # the input on device outside the timer).
-    from ml_audio_inpainting_tpu.ops.pcm import from_pcm16
+        # Serving with the int16 PCM fetch alone (serialized dispatch), to
+        # separate the two composing transport wins in the canonical line.
+        # pcm_fn was built (and compiled) for the canonical measurement above.
+        dt_pcm = _measure(lambda: pcm_fn(variables, audio, gap_start, gap_len), iters=10)
+        emit(
+            "pcm16_serving_audio_seconds_per_sec",
+            batch * clip_s / dt_pcm,
+            "s_audio/s/chip",
+            note="int16 output fetch (deliverable PCM precision; half the f32 bytes)",
+        )
 
-    e2e_fn = jax.jit(
-        lambda v, a, s, l: to_pcm16(fn(v, from_pcm16(a), s, l)[0])
-    )
-    host_pcm = np.asarray(to_pcm16(audio))
-    dt_e2e = _measure(
-        lambda: e2e_fn(variables, jnp.asarray(host_pcm), gap_start, gap_len),
-        iters=10,
-    )
-    emit(
-        "pcm16_e2e_transport_audio_seconds_per_sec",
-        batch * clip_s / dt_e2e,
-        "s_audio/s/chip",
-        note="int16 upload + dequant + inpaint + quant + int16 fetch, all timed",
-    )
+        # Best-known serving configuration: bounded window-2 pipelining AND
+        # the int16 fetch combined (both transport-side wins compose).
+        t0 = time.perf_counter()
+        pending = None
+        for _ in range(iters):
+            nxt = pcm_fn(variables, audio, gap_start, gap_len)
+            if pending is not None:
+                np.asarray(pending)
+            pending = nxt
+        np.asarray(pending)
+        dt_best = (time.perf_counter() - t0) / iters
+        emit(
+            "pcm16_pipelined_w2_audio_seconds_per_sec",
+            batch * clip_s / dt_best,
+            "s_audio/s/chip",
+            note="production serving loop: window-2 overlap + int16 fetch",
+        )
 
-    # Single-clip (B=1) serving latency: the production latency number for
-    # interactive use. Batched shape (1, S) -- the axon backend cannot
-    # materialize unbatched outputs (CLAUDE.md gotcha).
-    a1, gs1, gl1 = audio[:1], gap_start[:1], gap_len[:1]
-    dt_b1 = _measure(lambda: fn(variables, a1, gs1, gl1)[0], iters=10)
-    emit("gan_serving_latency_ms_b1", 1000.0 * dt_b1, "ms")
-    dt_b1p = _measure(lambda: pcm_fn(variables, a1, gs1, gl1), iters=10)
-    emit("gan_serving_latency_ms_b1_pcm16", 1000.0 * dt_b1p, "ms")
+        # All serving levers composed: B=64 bf16 generator compute (fits HBM
+        # where f32 does not; quality-neutral,
+        # results/gan_v2_bf16_serving.json) + int16 fetch + w2 pipelining.
+        try:
+            if batch != 32:
+                raise RuntimeError("b64 probe only in canonical mode")
+            fn64b = make_gan_inpaint_fn(cfg, gen, compute_dtype=jnp.bfloat16)
+            pcm64 = jax.jit(lambda v, a, s, l: to_pcm16(fn64b(v, a, s, l)[0]))
+            ds64b = SyntheticSpeechDataset(n_items=64, max_len_s=clip_s)
+            a64 = jnp.asarray(np.stack([ds64b[i] for i in range(64)]))
+            gs64b = jnp.full((64,), 32000, jnp.int32)
+            gl64b = jnp.full((64,), 1280, jnp.int32)
+            np.asarray(pcm64(variables, a64, gs64b, gl64b))  # warmup/compile
+            t0 = time.perf_counter()
+            pending = None
+            for _ in range(iters):
+                nxt = pcm64(variables, a64, gs64b, gl64b)
+                if pending is not None:
+                    np.asarray(pending)
+                pending = nxt
+            np.asarray(pending)
+            dt64w = (time.perf_counter() - t0) / iters
+            emit(
+                "pcm16_pipelined_w2_b64_bf16_audio_seconds_per_sec",
+                64 * clip_s / dt64w,
+                "s_audio/s/chip",
+                note="all serving levers: B=64 + bf16 compute + int16 fetch + w2 overlap",
+            )
+        except Exception:
+            pass
 
-    if run_serving and "--all" not in sys.argv:
+        # End-to-end PCM16 transport loop: int16 host->device upload INSIDE
+        # the timed loop, on-device dequantize -> inpaint -> quantize, int16
+        # fetch.  This is the full production serving transaction (the other
+        # lines stage the input on device outside the timer).
+        from ml_audio_inpainting_tpu.ops.pcm import from_pcm16
+
+        e2e_fn = jax.jit(
+            lambda v, a, s, l: to_pcm16(fn(v, from_pcm16(a), s, l)[0])
+        )
+        host_pcm = np.asarray(to_pcm16(audio))
+        dt_e2e = _measure(
+            lambda: e2e_fn(variables, jnp.asarray(host_pcm), gap_start, gap_len),
+            iters=10,
+        )
+        emit(
+            "pcm16_e2e_transport_audio_seconds_per_sec",
+            batch * clip_s / dt_e2e,
+            "s_audio/s/chip",
+            note="int16 upload + dequant + inpaint + quant + int16 fetch, all timed",
+        )
+
+        # Single-clip (B=1) serving latency: the production latency number
+        # for interactive use. Batched shape (1, S) -- the axon backend
+        # cannot materialize unbatched outputs (CLAUDE.md gotcha).
+        a1, gs1, gl1 = audio[:1], gap_start[:1], gap_len[:1]
+        dt_b1 = _measure(lambda: fn(variables, a1, gs1, gl1)[0], iters=10)
+        emit("gan_serving_latency_ms_b1", 1000.0 * dt_b1, "ms")
+        dt_b1p = _measure(lambda: pcm_fn(variables, a1, gs1, gl1), iters=10)
+        emit("gan_serving_latency_ms_b1_pcm16", 1000.0 * dt_b1p, "ms")
+
+        # Long-form serving (VERDICT r3 #8): a 60 s clip with three 80 ms
+        # gaps through runtime/longform.py windowed batching + Hann OLA.
+        # pad_batches=True reuses the canonical (batch, 80000) compiled
+        # serving program, so the whole long-form pass is compile-free --
+        # the neural analogue of the reference's MATLAB OLA segmenter
+        # (models/AudioReg/utils/segmentation_inp.m:89-148).
+        from ml_audio_inpainting_tpu.runtime.longform import longform_inpaint
+
+        long_s = 60.0
+        dsl = SyntheticSpeechDataset(n_items=1, max_len_s=long_s)
+        long_audio = jnp.asarray(np.asarray(dsl[0]))
+        lg_starts = np.asarray([200000, 480000, 760000])
+        lg_lens = np.full(3, 1280)
+        dt_long = _measure(
+            lambda: longform_inpaint(
+                fn,
+                variables,
+                long_audio,
+                lg_starts,
+                lg_lens,
+                window=80000,
+                hop=40000,
+                batch_size=batch,
+                pad_batches=True,
+            ),
+            iters=3,
+        )
+        emit(
+            "longform_audio_seconds_per_sec",
+            long_s / dt_long,
+            "s_audio/s/chip",
+            note="60 s clip, 3x80 ms gaps, 5 s windows + Hann OLA, reuses the canonical compiled program",
+        )
+
+    if run_serving and not run_all:
         return
 
     import functools
@@ -324,70 +421,83 @@ def main() -> None:
         make_cnn_train_step,
     )
 
-    # BASELINE config #1: STFT + gap-mask preprocessing.
-    @jax.jit
-    def preprocess(a, gs, gl):
-        masks = jax.vmap(lambda s, l: gap_mask(a.shape[-1], s, l))(gs, gl)
-        spec = stft(apply_gap(a, masks), n_fft=512, hop_length=128, win_length=512)
-        return log1p_norm(jnp.abs(spec))
-
-    dt = _measure(lambda: preprocess(audio, gap_start, gap_len), iters=10)
-    emit("stft_preprocess_audio_seconds_per_sec", batch * clip_s / dt, "s_audio/s/chip")
-
-    # BASELINE config #2: CNN+BiLSTM inference + iSTFT reconstruction.
+    # CNN family config/state shared by the inference and train lines.
     ccfg = Config()
     ccfg.data.spectrogram = SpectrogramConfig(n_fft=512, hop_length=192, win_length=384)
     ccfg.data.max_len_s = 5.0
     cmodel = build_model(ccfg)
     cstate = create_cnn_state(ccfg, jax.random.PRNGKey(0))
-    cvars = {"params": cstate.params, "batch_stats": cstate.batch_stats}
-    cfn = make_cnn_inpaint_fn(ccfg, cmodel)
-    dt = _measure(lambda: cfn(cvars, audio, gap_start, gap_len)[0], iters=10)
-    emit("cnn_blstm_inference_audio_seconds_per_sec", batch * clip_s / dt, "s_audio/s/chip")
 
-    # BASELINE config #3: classical AR (gap-wise Janssen) inference.
-    tmask = jax.vmap(lambda s, l: gap_mask(audio.shape[-1], s, l))(gap_start, gap_len)
-    solver = jax.jit(
-        jax.vmap(
-            functools.partial(janssen_gapwise, p=256, maxit=5, max_gap=2048)
+    if run_all:
+        # BASELINE config #1: STFT + gap-mask preprocessing.
+        @jax.jit
+        def preprocess(a, gs, gl):
+            masks = jax.vmap(lambda s, l: gap_mask(a.shape[-1], s, l))(gs, gl)
+            spec = stft(apply_gap(a, masks), n_fft=512, hop_length=128, win_length=512)
+            return log1p_norm(jnp.abs(spec))
+
+        dt = _measure(lambda: preprocess(audio, gap_start, gap_len), iters=10)
+        emit("stft_preprocess_audio_seconds_per_sec", batch * clip_s / dt, "s_audio/s/chip")
+
+        # BASELINE config #2: CNN+BiLSTM inference + iSTFT reconstruction.
+        cvars = {"params": cstate.params, "batch_stats": cstate.batch_stats}
+        cfn = make_cnn_inpaint_fn(ccfg, cmodel)
+        dt = _measure(lambda: cfn(cvars, audio, gap_start, gap_len)[0], iters=10)
+        emit("cnn_blstm_inference_audio_seconds_per_sec", batch * clip_s / dt, "s_audio/s/chip")
+
+        # BASELINE config #3: classical AR (gap-wise Janssen) inference.
+        tmask = jax.vmap(lambda s, l: gap_mask(audio.shape[-1], s, l))(gap_start, gap_len)
+        solver = jax.jit(
+            jax.vmap(
+                functools.partial(janssen_gapwise, p=256, maxit=5, max_gap=2048)
+            )
         )
-    )
-    dt = _measure(
-        lambda: solver(audio * tmask, tmask, gap_start, gap_len), iters=3
-    )
-    emit("janssen_inference_audio_seconds_per_sec", batch * clip_s / dt, "s_audio/s/chip")
-
-    # BASELINE config #5: CNN+BiLSTM training throughput.
-    step = make_cnn_train_step(ccfg)
-    state = cstate
-
-    def one_step():
-        nonlocal state
-        state, metrics = step(state, audio, jax.random.PRNGKey(0))
-        return metrics["loss"]
-
-    dt = _measure(one_step, iters=5)
-    emit("cnn_blstm_train_steps_per_sec", 1.0 / dt, "steps/s")
-    emit("cnn_blstm_train_audio_seconds_per_sec", batch * clip_s / dt, "s_audio/s/chip")
-
-    # Training-step MFU: the serving MFU above is host-link-bound (the
-    # canonical line's caveat); the fused fwd+bwd training step keeps data
-    # resident on-device, so its FLOPs/s over chip peak is the honest
-    # measure of kernel quality in this environment.
-    try:
-        compiled = (
-            jax.jit(step)
-            .lower(state, audio, jax.random.PRNGKey(0))
-            .compile()
+        dt = _measure(
+            lambda: solver(audio * tmask, tmask, gap_start, gap_len), iters=3
         )
-        ca = compiled.cost_analysis()
-        ca = ca[0] if isinstance(ca, (list, tuple)) else ca
-        flops = float(ca.get("flops", 0.0)) if ca else 0.0
-        peak = PEAK_BF16_FLOPS.get(device_kind)
-        if flops > 0 and peak:
-            emit("cnn_blstm_train_mfu_pct", 100.0 * flops / dt / peak, "% of bf16 peak")
-    except Exception:
-        pass
+        emit("janssen_inference_audio_seconds_per_sec", batch * clip_s / dt, "s_audio/s/chip")
+
+    # BASELINE config #5: CNN+BiLSTM training throughput, f32 and bf16
+    # mixed precision (--train-dtype bf16 for this family, VERDICT r3 #4).
+    for dtype_tag, compute_dtype in (("", None), ("_bf16", jnp.bfloat16)):
+        step = make_cnn_train_step(ccfg, compute_dtype=compute_dtype)
+        state = cstate
+
+        def one_step():
+            nonlocal state
+            state, metrics = step(state, audio, jax.random.PRNGKey(0))
+            return metrics["loss"]
+
+        dt = _measure(one_step, iters=5)
+        emit(f"cnn_blstm_train_steps_per_sec{dtype_tag}", 1.0 / dt, "steps/s")
+        emit(
+            f"cnn_blstm_train_audio_seconds_per_sec{dtype_tag}",
+            batch * clip_s / dt,
+            "s_audio/s/chip",
+        )
+
+        # Training-step MFU: the serving MFU above is host-link-bound (the
+        # canonical line's caveat); the fused fwd+bwd training step keeps
+        # data resident on-device, so its FLOPs/s over chip peak is the
+        # honest measure of kernel quality in this environment.
+        try:
+            compiled = (
+                jax.jit(step)
+                .lower(state, audio, jax.random.PRNGKey(0))
+                .compile()
+            )
+            ca = compiled.cost_analysis()
+            ca = ca[0] if isinstance(ca, (list, tuple)) else ca
+            flops = float(ca.get("flops", 0.0)) if ca else 0.0
+            peak = PEAK_BF16_FLOPS.get(device_kind)
+            if flops > 0 and peak:
+                emit(
+                    f"cnn_blstm_train_mfu_pct{dtype_tag}",
+                    100.0 * flops / dt / peak,
+                    "% of bf16 peak",
+                )
+        except Exception:
+            pass
 
     # GAN two-optimizer train step (flagship family): throughput + MFU at
     # the quality-recipe batch (B=4) and the measured throughput sweet spot
@@ -455,6 +565,12 @@ def main() -> None:
             except Exception:
                 pass
 
+    # End-of-capture link re-probe: a long capture spans enough wall-clock
+    # for relay weather to change; pairing a probe at both ends bounds the
+    # link state every line above was measured under.
+    link_end = _link_probe(jax, jnp)
+    emit("link_probe_end", link_end["link_down_mbps"], "MB/s", **link_end)
+
 
 def _watchdog(seconds: int) -> None:
     """Fail loudly instead of hanging: the axon remote-compile tunnel can go
@@ -495,5 +611,9 @@ if __name__ == "__main__":
     # --all runs many configs (several compiles); the canonical run is one
     # compile + 10 repeats.  Generous bounds: first TPU compile alone can
     # take minutes through the remote-compile tunnel.
-    _watchdog(3600 if ("--all" in sys.argv or "--serving" in sys.argv) else 1800)
+    _watchdog(
+        3600
+        if ("--all" in sys.argv or "--serving" in sys.argv or "--train" in sys.argv)
+        else 1800
+    )
     main()

@@ -23,7 +23,10 @@ validation-split clips x 10 gap positions; ``cli/ar_tune.py``,
 
 These tables hard-code exactly those measured winners so
 ``--ar-preset tuned`` deploys them without re-running the probe.  The
-boundaries are midpoints between measured conditions (40/80/160/320/500 ms).
+arinpaint boundaries are midpoints between measured conditions
+(40/80/160/320/500 ms); the janssen cutoff is intentionally conservative at
+0.2 s (below the 160/320 midpoint) because no Janssen grid was run past
+160 ms.  All presets are calibrated on the SINGLE-gap eval condition.
 """
 
 from __future__ import annotations

@@ -65,7 +65,10 @@ def build_argparser() -> argparse.ArgumentParser:
                    default="default",
                    help="'tuned' deploys the measured per-gap-length "
                         "champion configs for the classical solvers "
-                        "(classical/presets.py; overrides the --ar-* flags)")
+                        "(classical/presets.py; overrides the --ar-* flags). "
+                        "Calibrated on the SINGLE-gap condition: with "
+                        "--n-gaps > 1 the preset is picked once from the "
+                        "nominal --gap-len (gaps sampled shorter keep it)")
     p.add_argument("--ar-method", choices=["lpc", "arburg"], default="lpc")
     p.add_argument("--mode", choices=["parity", "enhanced"], default="parity")
     p.add_argument("--infer-dtype", choices=["f32", "bf16"], default="f32",
@@ -481,6 +484,9 @@ def main(argv=None) -> None:
                 "probe_every": args.adapt_probe_every,
                 "seed": args.adapt_seed,
             }
+        from ml_audio_inpainting_tpu.train.peaq import ODG_MAPPING
+
+        condition["odg_mapping"] = ODG_MAPPING
         payload = {"condition": condition, "results": results}
         if adapt_info:
             payload["adapt_info"] = adapt_info

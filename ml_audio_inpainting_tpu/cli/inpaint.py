@@ -14,6 +14,7 @@ classical solvers ``janssen``, ``arinpaint``, ``segmentation``, ``aspain``,
 from __future__ import annotations
 
 import argparse
+import sys
 from pathlib import Path
 from typing import List
 
@@ -232,7 +233,20 @@ def _build_runner(args, cfg, n_samples: int):
             "janssen": tuned_janssen_preset,
         }.get(args.model)
         if picker is not None:
-            for k, v in picker(float(args.gap_len)).items():
+            overrides = picker(float(args.gap_len))
+            if overrides:
+                # argparse cannot distinguish explicit flags from defaults
+                # here, so the preset wins over any manually passed
+                # --ar-order/--ar-context/--ar-blend/--maxit; say which
+                # values it applied so an overridden flag is visible in the
+                # run log (round-3 advisor finding).
+                print(
+                    f"--ar-preset tuned ({args.model}, gap {float(args.gap_len):.3f}s): "
+                    "applying measured overrides "
+                    + ", ".join(f"{k}={v}" for k, v in overrides.items()),
+                    file=sys.stderr,
+                )
+            for k, v in overrides.items():
                 setattr(args, k, v)
 
     if getattr(args, "infer_dtype", "f32") == "bf16" and args.model != "gan":

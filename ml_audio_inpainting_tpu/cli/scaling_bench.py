@@ -39,6 +39,14 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--clip-seconds", type=float, default=1.0,
                    help="clip length (production is 5 s; shorter keeps the "
                         "virtual-CPU run in budget)")
+    p.add_argument("--chaos", action="store_true",
+                   help="also run the chaos control: the SAME single-device "
+                        "step twice, once from 1-ulp-perturbed initial "
+                        "params, recording the loss-divergence trajectory. "
+                        "If its magnitude matches the multi-device drift, "
+                        "the drift is reduction-order chaos (any ulp-scale "
+                        "perturbation grows at the system's Lyapunov rate), "
+                        "not a sharding bug (VERDICT r3 #2)")
     p.add_argument("--output-json", type=str, default=None)
     return p
 
@@ -83,6 +91,8 @@ def main(argv=None) -> None:
             "--clip-seconds", str(args.clip_seconds),
             "--output-json", tmp,
         ]
+        if args.chaos:
+            sub_argv.append("--chaos")
         # Call the runner DIRECTLY (not main): before any backend touch,
         # ``_initialized_device_count()`` is None even in the provisioned
         # subprocess, so re-entering main() would recurse into another
@@ -231,7 +241,104 @@ def _run(args) -> dict:
             per_n[str(n)] = entry
             print(f"{model} n={n}: {entry}", flush=True)
         payload["models"][model] = per_n
+
+        if args.chaos:
+            # Chaos control (VERDICT r3 #2): the multi-device runs above
+            # differ from single-device ONLY in floating-point reduction
+            # order (the DP==single-device equivalence test pins one step to
+            # Adam-step tolerance).  To show the observed multi-step drift
+            # is that reduction-order noise amplified by the training
+            # dynamics -- and not a BatchNorm-axis / spectral-norm / PRNG
+            # bug -- run the SAME single-device step from initial params
+            # perturbed by 1 ulp and record the loss divergence trajectory.
+            # If ulp-scale input noise alone reproduces the drift magnitude,
+            # reduction-order noise (also ulp-scale) must too.
+            mesh1 = make_mesh(data_parallel=1, model_parallel=1,
+                              devices=jax.devices()[:1])
+
+            def run_traj(perturb: bool):
+                if model == "cnn_blstm":
+                    state = create_cnn_state(cfg, jax.random.PRNGKey(0))
+                    if perturb:
+                        state = state.replace(
+                            params=_perturb_one_leaf(state.params)
+                        )
+                    step = make_sharded_step(
+                        make_cnn_train_step(cfg), state, mesh1
+                    )
+                    state = place_state(state, mesh1)
+                    audio = shard_batch(audio_np, mesh1)
+                    out = []
+                    for i in range(args.steps):
+                        state, m = step(state, audio, jax.random.PRNGKey(i))
+                        out.append(float(m["loss"]))
+                    return out
+                g_state, d_state = create_gan_states(cfg, jax.random.PRNGKey(0))
+                if perturb:
+                    g_state = g_state.replace(
+                        params=_perturb_one_leaf(g_state.params)
+                    )
+                gan_step = make_gan_train_step(cfg)
+                g_sh = state_shardings(g_state, mesh1)
+                d_sh = state_shardings(d_state, mesh1)
+                sharded = jax.jit(
+                    gan_step,
+                    in_shardings=(g_sh, d_sh, batch_sharding(mesh1), replicated(mesh1)),
+                    out_shardings=(g_sh, d_sh, replicated(mesh1)),
+                )
+                g_state = jax.device_put(g_state, g_sh)
+                d_state = jax.device_put(d_state, d_sh)
+                audio = shard_batch(audio_np, mesh1)
+                out = []
+                for i in range(args.steps):
+                    g_state, d_state, m = sharded(
+                        g_state, d_state, audio, jax.random.PRNGKey(i)
+                    )
+                    out.append(float(m["g_total"]))
+                return out
+
+            base = np.asarray(run_traj(False))
+            pert = np.asarray(run_traj(True))
+            rel = np.abs(pert - base) / (np.max(np.abs(base)) + 1e-12)
+            chaos_entry = {
+                "perturbation": "1 ulp (np.nextafter) on the first param leaf",
+                "devices": 1,
+                "steps": args.steps,
+                "max_rel_loss_drift": float(np.max(rel)),
+                "rel_drift_trajectory_every5": [
+                    round(float(x), 6) for x in rel[::5]
+                ],
+                "note": "single-device, identical reduction order; the only "
+                        "difference is a 1-ulp initial perturbation. Compare "
+                        "max_rel_loss_drift with the multi-device "
+                        "max_rel_loss_drift rows: matching magnitudes mean "
+                        "the DP drift is FP-noise amplified by training "
+                        "dynamics, not a sharding bug.",
+            }
+            payload.setdefault("chaos_control", {})[model] = chaos_entry
+            print(f"{model} chaos: {chaos_entry['max_rel_loss_drift']:.4f}",
+                  flush=True)
     return payload
+
+
+def _perturb_one_leaf(params):
+    """Return params with the first floating leaf moved 1 ulp toward +inf."""
+    import jax
+    import numpy as np
+
+    leaves, treedef = jax.tree_util.tree_flatten(params)
+    bumped = False
+    out = []
+    for leaf in leaves:
+        if not bumped and hasattr(leaf, "dtype") and leaf.dtype == "float32":
+            arr = np.asarray(leaf)
+            out.append(np.nextafter(arr, np.float32(np.inf)))
+            bumped = True
+        else:
+            out.append(leaf)
+    if not bumped:
+        raise ValueError("no float32 leaf to perturb")
+    return jax.tree_util.tree_unflatten(treedef, out)
 
 
 if __name__ == "__main__":

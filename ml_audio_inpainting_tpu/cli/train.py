@@ -156,12 +156,6 @@ def main(argv=None) -> None:
     from ml_audio_inpainting_tpu.utils.run_logging import RunContext
 
     args = build_argparser().parse_args(argv)
-    if args.model != "gan" and args.train_dtype != "f32":
-        # Fail before any heavy work (corpus synthesis, prefetch workers,
-        # run-dir creation). The CNN step is latency-bound on the BiLSTM
-        # scan (results/README.md MFU notes); bf16 compute is wired for the
-        # MXU-bound GAN step only.
-        raise SystemExit("--train-dtype bf16 is supported for --model gan only")
     if args.model != "gan" and args.remat:
         # Same fail-fast rationale: remat targets the GAN step's activation
         # HBM (conv U-Net + VGG stacks); the CNN step is scan-latency-bound
@@ -355,12 +349,27 @@ def main(argv=None) -> None:
     if feed_mode == "auto":
         # The two feeds yield bit-identical epoch orderings (pipeline.py),
         # so this is purely a throughput choice: device-resident wins
-        # whenever the corpus fits HBM next to the training step.
+        # whenever the corpus fits HBM NEXT TO the training step's working
+        # set.  The step estimate is anchored on the measured XLA
+        # memory_analysis of the full fused GAN step — 9.6 GiB at B=32
+        # bf16, and the B=32 f32 step measured fitting alongside a 610 MiB
+        # corpus (results/README.md) — scaled linearly in batch and 1.5x
+        # for f32 activations.  The anchor is the LARGEST family's step
+        # (GAN+VGG), so the CNN family errs toward the safe streamed feed.
+        # An OOM here is worse than a slow feed: on this platform it wedges
+        # the remote-compile relay for 10+ minutes (CLAUDE.md).
         corpus_bytes = len(dataset) * cfg.data.max_samples * 4
-        feed_mode = "device" if corpus_bytes <= 2 * 1024**3 else "stream"
+        step_gib = 9.6 * (cfg.training.batch_size / 32.0) * (
+            1.0 if args.train_dtype == "bf16" else 1.5
+        )
+        headroom_bytes = (15.5 - step_gib) * 1024**3
+        device_ok = corpus_bytes <= min(2 * 1024**3, headroom_bytes)
+        feed_mode = "device" if device_ok else "stream"
         run.logger.info(
-            "feed auto -> %s (corpus ~%.0f MiB f32)",
-            feed_mode, corpus_bytes / 2**20,
+            "feed auto -> %s (corpus ~%.0f MiB f32, step est ~%.1f GiB %s "
+            "B=%d, headroom ~%.1f GiB)",
+            feed_mode, corpus_bytes / 2**20, step_gib, args.train_dtype,
+            cfg.training.batch_size, max(headroom_bytes, 0.0) / 2**30,
         )
     if feed_mode == "device":
         from ml_audio_inpainting_tpu.data.pipeline import device_corpus_feed
@@ -368,6 +377,7 @@ def main(argv=None) -> None:
         feed = device_corpus_feed(
             dataset, cfg.training.batch_size, shuffle=True, seed=args.seed,
             epochs=epochs, sharding=batch_sharding(mesh),
+            workers=args.workers, logger=run.logger,
         )
     else:
         batches = batch_iterator(
@@ -393,7 +403,12 @@ def main(argv=None) -> None:
         if args.resume and ckpt.latest_step() is not None:
             state = ckpt.restore(state)
             run.logger.info("resumed from step %s", ckpt.latest_step())
-        step_fn = make_sharded_step(make_cnn_train_step(cfg, ema=args.ema), state, mesh)
+        cnn_compute_dtype = jnp.bfloat16 if args.train_dtype == "bf16" else None
+        step_fn = make_sharded_step(
+            make_cnn_train_step(cfg, ema=args.ema, compute_dtype=cnn_compute_dtype),
+            state,
+            mesh,
+        )
         state = place_state(state, mesh)
         if args.valid_every:
             from ml_audio_inpainting_tpu.train.cnn_trainer import make_cnn_eval_step

@@ -139,6 +139,8 @@ def device_corpus_feed(
     seed: int = 0,
     epochs: Optional[int] = None,
     sharding: Optional[jax.sharding.Sharding] = None,
+    workers: int = 4,
+    logger=None,
 ) -> Iterator:
     """Device-RESIDENT corpus feed: upload the whole corpus to HBM once,
     then assemble every training batch with an on-device gather.
@@ -161,7 +163,36 @@ def device_corpus_feed(
     host DataLoader every step (``models/GAN/train.py:194-199``).
     """
     n = len(dataset)
-    corpus = np.stack([dataset[i] for i in range(n)])
+    # The upfront whole-corpus decode is the feed's one serial cost; do it
+    # with the same worker parallelism as the streamed feed's decoder and
+    # log progress so a long decode is not mistaken for the known relay
+    # hang (CLAUDE.md).  Decoded in-place into one preallocated array (a
+    # multi-thousand-clip corpus is GiB-scale; no second copy).
+    probe0 = np.asarray(dataset[0], np.float32)
+    corpus = np.empty((n,) + probe0.shape, np.float32)
+    corpus[0] = probe0
+    if logger is not None and n > 1:
+        logger.info(
+            "device feed: decoding %d clips (~%.0f MiB) with %d workers",
+            n, corpus.nbytes / 2**20, max(1, workers),
+        )
+    if n > 1:
+        from concurrent.futures import ThreadPoolExecutor
+
+        done = [1]
+        import threading as _threading
+        lock = _threading.Lock()
+
+        def _decode(i):
+            corpus[i] = dataset[i]
+            if logger is not None:
+                with lock:
+                    done[0] += 1
+                    if done[0] % max(1, n // 10) == 0:
+                        logger.info("device feed: decoded %d/%d", done[0], n)
+
+        with ThreadPoolExecutor(max_workers=max(1, workers)) as ex:
+            list(ex.map(_decode, range(1, n)))
     if sharding is not None:
         # Replicate the corpus; the gather's output takes the batch sharding.
         mesh = sharding.mesh

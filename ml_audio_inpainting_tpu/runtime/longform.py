@@ -53,40 +53,83 @@ def longform_inpaint(
     inpaint_fn: Callable,
     variables,
     audio: jnp.ndarray,
-    gap_start: int,
-    gap_len: int,
+    gap_start,
+    gap_len,
     window: int = 80000,
     hop: int = 40000,
     batch_size: int = 16,
+    pad_batches: bool = False,
 ) -> jnp.ndarray:
-    """Inpaint a gap in audio of any length with a fixed-window model.
+    """Inpaint one or more gaps in audio of any length with a fixed-window
+    model.
 
     ``inpaint_fn``: a jitted ``fn(variables, audio(B, window), gap_start(B,),
     gap_len(B,)) -> (restored, aux)`` from ``runtime/inference.py``.  Windows
-    that do not intersect the gap pass through (identity), so only the
-    windows covering the gap run the model; output length == input length.
+    that do not intersect a gap pass through (identity), so only the windows
+    covering gaps run the model; output length == input length.
+
+    ``gap_start``/``gap_len`` accept a scalar (single gap) or equal-length
+    sequences (multiple gaps, the reference's MATLAB segmenter condition,
+    ``segmentation_inp.m:89-148``).  A window intersecting several gaps is
+    restored in sequential rounds (each round's model input carries the
+    previous rounds' restorations, so nothing is overwritten).
+
+    ``pad_batches=True`` pads every model call to exactly ``batch_size``
+    windows (zero-length gaps on the pads) so the whole long-form pass hits
+    ONE compiled ``(batch_size, window)`` program -- set ``batch_size`` to a
+    shape you have already compiled (e.g. the serving batch) for
+    compile-free long-form serving.
     """
+    gap_starts = np.atleast_1d(np.asarray(gap_start, dtype=np.int64))
+    gap_lens = np.atleast_1d(np.asarray(gap_len, dtype=np.int64))
     t = int(audio.shape[-1])
     windows, padded = chunk_signal(audio, window, hop)
     n = windows.shape[0]
     starts = np.arange(n) * hop
 
-    # Which windows intersect the gap?
-    g0, g1 = int(gap_start), int(gap_start + gap_len)
-    hit = (starts < g1) & (starts + window > g0)
-    hit_idx = np.nonzero(hit)[0]
+    # One (window, local gap) work item per window-gap intersection.
+    items = []
+    for g0, gl in zip(gap_starts.tolist(), gap_lens.tolist()):
+        if gl <= 0:
+            continue
+        g1 = g0 + gl
+        for w in np.nonzero((starts < g1) & (starts + window > g0))[0]:
+            items.append(
+                (int(w), int(max(g0 - starts[w], 0)), int(min(g1 - starts[w], window)))
+            )
+
+    # Rounds: each window at most once per round; later rounds read the
+    # updated windows so multi-gap windows accumulate restorations.
+    rounds = []
+    for it in items:
+        for r in rounds:
+            if all(o[0] != it[0] for o in r):
+                r.append(it)
+                break
+        else:
+            rounds.append([it])
 
     out_windows = windows
-    for i in range(0, len(hit_idx), batch_size):
-        sel = hit_idx[i : i + batch_size]
-        local_start = jnp.asarray(np.maximum(g0 - starts[sel], 0), jnp.int32)
-        local_end = jnp.asarray(np.minimum(g1 - starts[sel], window), jnp.int32)
-        restored, _ = inpaint_fn(
-            variables,
-            windows[sel],
-            local_start,
-            jnp.maximum(local_end - local_start, 0),
-        )
-        out_windows = out_windows.at[sel].set(restored)
+    for r in rounds:
+        for i in range(0, len(r), batch_size):
+            chunk = r[i : i + batch_size]
+            sel = np.asarray([c[0] for c in chunk])
+            ls = np.asarray([c[1] for c in chunk], np.int64)
+            le = np.asarray([c[2] for c in chunk], np.int64)
+            bw = out_windows[sel]
+            npad = batch_size - len(chunk) if pad_batches else 0
+            if npad > 0:
+                bw = jnp.concatenate([bw, jnp.zeros((npad, window), bw.dtype)])
+                ls = np.concatenate([ls, np.zeros(npad, np.int64)])
+                le = np.concatenate([le, np.zeros(npad, np.int64)])
+            restored, _ = inpaint_fn(
+                variables,
+                bw,
+                jnp.asarray(ls, jnp.int32),
+                jnp.asarray(np.maximum(le - ls, 0), jnp.int32),
+            )
+            if npad > 0:
+                restored = restored[: len(chunk)]
+            out_windows = out_windows.at[sel].set(restored)
 
     return overlap_add(out_windows, hop, t)

@@ -21,6 +21,7 @@ from ml_audio_inpainting_tpu.models.cnn_blstm import StackedBLSTMCNN
 from ml_audio_inpainting_tpu.train import features
 from ml_audio_inpainting_tpu.train.losses import cnn_gap_l1_loss
 from ml_audio_inpainting_tpu.utils.config import Config
+from ml_audio_inpainting_tpu.utils.precision import cast_floating
 
 __all__ = [
     "CNNTrainState",
@@ -96,14 +97,29 @@ def _feature_fn(cfg: Config):
 
 
 def make_cnn_train_step(
-    cfg: Config, ema: float = 0.0
+    cfg: Config, ema: float = 0.0, compute_dtype=None
 ) -> Callable[[CNNTrainState, jnp.ndarray, jax.Array], Tuple[CNNTrainState, Dict]]:
     """Build the jitted train step: gaps -> STFTs -> forward -> L1 -> Adam.
 
     ``ema``: decay of a serving-side params moving average (0 = off);
     updated on-device after the optimizer step, same contract as the GAN
-    trainer's ``g_ema`` (one param-sized elementwise blend per step)."""
+    trainer's ``g_ema`` (one param-sized elementwise blend per step).
+
+    ``compute_dtype``: optional mixed precision (``jnp.bfloat16``), the GAN
+    trainer's recipe applied to this family: master weights, Adam state and
+    the loss stay f32; the network forward/backward (conv stacks + BiLSTM
+    scan matmuls, where the FLOPs and activation HBM live) runs in
+    ``compute_dtype`` by casting params + the network input inside the loss
+    (cast VJPs return f32 cotangents, so the optimizer sees f32 grads).
+    BatchNorm running statistics are NOT cast: the batch forward uses batch
+    stats (stays ``compute_dtype``) while the running-average update then
+    promotes to f32, so the EMA accumulates at full precision."""
     feat = _feature_fn(cfg)
+    cast = (
+        (lambda tr: cast_floating(tr, compute_dtype))
+        if compute_dtype is not None
+        else (lambda tr: tr)
+    )
 
     @jax.jit
     def step(state: CNNTrainState, audio: jnp.ndarray, key: jax.Array):
@@ -111,12 +127,14 @@ def make_cnn_train_step(
 
         def loss_fn(params):
             pred, updates = state.apply_fn(
-                {"params": params, "batch_stats": state.batch_stats},
-                batch["log_gap"],
+                {"params": cast(params), "batch_stats": state.batch_stats},
+                cast(batch["log_gap"]),
                 train=True,
                 mutable=["batch_stats"],
             )
-            loss = cnn_gap_l1_loss(pred, batch["target_mag"], batch["gap_mask"])
+            loss = cnn_gap_l1_loss(
+                pred.astype(jnp.float32), batch["target_mag"], batch["gap_mask"]
+            )
             return loss, updates
 
         (loss, updates), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)

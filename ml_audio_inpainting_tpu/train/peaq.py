@@ -52,7 +52,14 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-__all__ = ["excitation_patterns", "nmr_total", "odg_score"]
+__all__ = ["excitation_patterns", "nmr_total", "odg_score", "ODG_MAPPING"]
+
+# Calibration-version tag stamped into every artifact that records ODG
+# values (VERDICT r3 #6): ODG is a calibrated substitute metric, so two
+# artifacts are only comparable if their mapping tags match.  Files
+# generated before 2026-08-17 carry the 2-anchor mapping (tagged
+# retroactively as "logit-2anchor-pre-2026-08-17").
+ODG_MAPPING = "piecewise-logit-3anchor-2026-08-17"
 
 #: playback level assumed by the standard (dB SPL for a full-scale sine)
 _LISTENING_LEVEL_DB = 92.0

@@ -171,6 +171,49 @@ class TestTraining:
         out = ev(state, audio, jax.random.PRNGKey(0))
         assert np.isfinite(float(out["loss"]))
 
+    def test_bf16_mixed_precision_step(self, speech_like):
+        """compute_dtype=bf16 (VERDICT r3 #4, the GAN recipe applied to this
+        family): master weights/Adam state/BatchNorm EMA stay f32, the step-1
+        loss tracks the f32 step, and repeated steps learn."""
+        cfg = small_config()
+        audio = jnp.asarray(speech_like[:16000])[None, :]
+
+        s32 = create_cnn_state(cfg, jax.random.PRNGKey(0))
+        step32 = make_cnn_train_step(cfg)
+        s32_1, m32 = step32(s32, audio, jax.random.PRNGKey(0))
+
+        s16 = create_cnn_state(cfg, jax.random.PRNGKey(0))
+        step16 = make_cnn_train_step(cfg, compute_dtype=jnp.bfloat16)
+        losses = []
+        for i in range(20):
+            s16, m16 = step16(s16, audio, jax.random.PRNGKey(i % 4))
+            losses.append(float(m16["loss"]))
+            assert np.isfinite(losses[-1])
+            if i == 0:
+                # Same PRNG stream -> same gaps; bf16 forward lands within
+                # a few percent of the f32 loss on step 1.
+                assert abs(losses[0] - float(m32["loss"])) < 0.05 * abs(
+                    float(m32["loss"])
+                ), (losses[0], float(m32["loss"]))
+                # BatchNorm running stats accumulate in f32 (the stats are
+                # deliberately not cast; the running-average update promotes
+                # the bf16 batch moments back to f32).
+                for a, b in zip(
+                    jax.tree_util.tree_leaves(s16.batch_stats),
+                    jax.tree_util.tree_leaves(s32_1.batch_stats),
+                ):
+                    np.testing.assert_allclose(
+                        np.asarray(a), np.asarray(b), rtol=2e-2, atol=2e-3
+                    )
+        assert losses[-1] < losses[0] * 0.8, losses[::5]
+
+        # Master state stays f32 end to end.
+        for leaf in jax.tree_util.tree_leaves(
+            (s16.params, s16.opt_state, s16.batch_stats)
+        ):
+            if hasattr(leaf, "dtype") and jnp.issubdtype(leaf.dtype, jnp.floating):
+                assert leaf.dtype == jnp.float32, leaf.dtype
+
     def test_ema_disabled_by_default(self):
         state = create_cnn_state(small_config(), jax.random.PRNGKey(0))
         assert state.ema_params is None

