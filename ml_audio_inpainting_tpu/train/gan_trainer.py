@@ -136,8 +136,26 @@ def make_gan_train_step(
     compute_dtype=None,
     remat: bool = False,
     g_ema: float = 0.0,
+    fused_g_forward: bool = True,
 ) -> Callable:
     """Build the fused two-optimizer step.
+
+    ``fused_g_forward`` (default on): run the generator forward ONCE per
+    step via ``jax.vjp`` and share it between the two updates — the
+    detached ``fake`` for the D step and the pullback for the G gradients.
+    The reference computes ``fake`` once and reuses the tensor for both
+    optimizers (``models/GAN/train.py:341-378``); the naive functional
+    translation ran the U-Net forward twice (once detached for D, once
+    inside the G ``value_and_grad``), which XLA does not CSE because the
+    differentiated copy also saves residuals.  Same math, same PRNG
+    stream, bitwise-identical D step; G gradients differ only by FP
+    reassociation (pinned by ``test_fused_g_forward_matches_legacy``).
+    Measured on TPU v5e (B=32 bf16): eliminating the duplicate forward is
+    a step-throughput win; the trade is that the saved residuals stay
+    live across the D step (with ``remat`` there are no residuals — the
+    fused+remat combination saves the duplicate forward outright).
+    ``False`` keeps the legacy two-forward program (the reference
+    implementation for the equivalence test).
 
     ``vgg``: ``(model, variables)`` from :func:`vgg19_params`; pass None to
     drop the VGG terms (reference behavior when both lambdas are 0,
@@ -212,16 +230,32 @@ def make_gan_train_step(
         mask = batch["mask"]
         orig_c, impaired_c, mask_c = cast(orig), cast(impaired), cast(mask)
 
+        # G forward (train=True, mutable batch stats; the stats are
+        # deliberately NOT cast — see docstring: f32 EMA).  Defined up here
+        # because the fused path shares ONE forward between both updates.
+        def g_apply(g_params, x, m):
+            return g_state.apply_fn(
+                {"params": cast(g_params), "batch_stats": g_state.batch_stats},
+                x,
+                m,
+                train=True,
+                mutable=["batch_stats"],
+            )
+
+        if remat:
+            g_apply = jax.checkpoint(g_apply)
+
         # --- Discriminator step (train.py:347-363) ---
-        # G batch_stats deliberately NOT cast (see docstring: f32 EMA).
-        fake_detached, g_updates = g_state.apply_fn(
-            {"params": cast(g_state.params), "batch_stats": g_state.batch_stats},
-            impaired_c,
-            mask_c,
-            train=True,
-            mutable=["batch_stats"],
-        )
-        fake_detached = jax.lax.stop_gradient(fake_detached)
+        if fused_g_forward:
+            fake, g_vjp, g_upd = jax.vjp(
+                lambda p: g_apply(p, impaired_c, mask_c),
+                g_state.params,
+                has_aux=True,
+            )
+            fake_detached = jax.lax.stop_gradient(fake)
+        else:
+            fake_detached, _ = g_apply(g_state.params, impaired_c, mask_c)
+            fake_detached = jax.lax.stop_gradient(fake_detached)
 
         def d_train_apply(d_params, bstats, x):
             return d_state.apply_fn(
@@ -253,15 +287,6 @@ def make_gan_train_step(
         d_state = d_state.replace(batch_stats=restore(d_upd["batch_stats"]))
 
         # --- Generator step (train.py:365-378, with the no_grad defect fixed) ---
-        def g_apply(g_params, x, m):
-            return g_state.apply_fn(
-                {"params": cast(g_params), "batch_stats": g_state.batch_stats},
-                x,
-                m,
-                train=True,
-                mutable=["batch_stats"],
-            )
-
         def d_infer(x):
             return d_state.apply_fn(
                 {"params": cast(d_state.params), "batch_stats": cast(d_state.batch_stats)},
@@ -273,12 +298,10 @@ def make_gan_train_step(
             return vgg_perceptual_style_losses(vgg_model, vgg_vars, fake, target)
 
         if remat:
-            g_apply = jax.checkpoint(g_apply)
             d_infer = jax.checkpoint(d_infer)
             vgg_terms = jax.checkpoint(vgg_terms)
 
-        def g_loss_fn(g_params):
-            fake, g_upd = g_apply(g_params, impaired_c, mask_c)
+        def losses_from_fake(fake):
             d_fake_logits = d_infer(fake)
             vgg_losses = vgg_terms(fake, orig_c) if use_vgg else None
             losses = generator_losses(
@@ -289,11 +312,23 @@ def make_gan_train_step(
                 lambdas,
                 vgg_losses,
             )
-            return losses["g_total"], (g_upd, losses)
+            return losses["g_total"], losses
 
-        (g_total, (g_upd, g_losses)), g_grads = jax.value_and_grad(
-            g_loss_fn, has_aux=True
-        )(g_state.params)
+        if fused_g_forward:
+            # Chain the loss gradient through the saved forward's pullback.
+            (g_total, g_losses), fake_bar = jax.value_and_grad(
+                losses_from_fake, has_aux=True
+            )(fake)
+            (g_grads,) = g_vjp(fake_bar)
+        else:
+            def g_loss_fn(g_params):
+                fake2, g_upd2 = g_apply(g_params, impaired_c, mask_c)
+                total, losses = losses_from_fake(fake2)
+                return total, (g_upd2, losses)
+
+            (g_total, (g_upd, g_losses)), g_grads = jax.value_and_grad(
+                g_loss_fn, has_aux=True
+            )(g_state.params)
         g_state = g_state.apply_gradients(grads=g_grads)
         g_state = g_state.replace(batch_stats=restore(g_upd["batch_stats"]))
         if g_ema > 0 and g_state.ema_params is not None:

@@ -213,6 +213,67 @@ class TestGANTraining:
         x32 = jnp.ones((1, 64, 64), jnp.float32)
         assert preprocess_for_vgg(x32, is_generated=False).dtype == jnp.float32
 
+    def test_fused_g_forward_matches_legacy(self, speech_like):
+        """fused_g_forward (single G forward shared by both updates via
+        jax.vjp) must match the legacy two-forward step: D quantities are
+        the same computation (identical fake_detached), G quantities differ
+        only by FP reassociation of the pullback.  Run a short trajectory
+        in BOTH modes to catch compounding divergence."""
+        cfg = tiny_gan_config()
+        audio = jnp.asarray(speech_like[:16000])[None, :]
+
+        gF, dF = create_gan_states(cfg, jax.random.PRNGKey(0))
+        stepF = make_gan_train_step(cfg, fused_g_forward=True)
+        gL, dL = create_gan_states(cfg, jax.random.PRNGKey(0))
+        stepL = make_gan_train_step(cfg, fused_g_forward=False)
+
+        for i in range(5):
+            gF, dF, mF = stepF(gF, dF, audio, jax.random.PRNGKey(i))
+            gL, dL, mL = stepL(gL, dL, audio, jax.random.PRNGKey(i))
+            np.testing.assert_allclose(
+                float(mF["d_total"]), float(mL["d_total"]), rtol=1e-5
+            )
+            np.testing.assert_allclose(
+                float(mF["g_total"]), float(mL["g_total"]), rtol=1e-5
+            )
+        # Adam sign-flip bound (lr 2e-4) over 5 steps.
+        for ref, out in ((gL.params, gF.params), (dL.params, dF.params)):
+            for a, b in zip(
+                jax.tree_util.tree_leaves(ref), jax.tree_util.tree_leaves(out)
+            ):
+                np.testing.assert_allclose(
+                    np.asarray(a), np.asarray(b), atol=5 * 4.1e-4
+                )
+        # BatchNorm stats come from the same single forward -> tight.
+        for a, b in zip(
+            jax.tree_util.tree_leaves(gL.batch_stats),
+            jax.tree_util.tree_leaves(gF.batch_stats),
+        ):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5
+            )
+
+    def test_fused_g_forward_matches_legacy_remat(self, speech_like):
+        """remat + fused: jax.checkpoint'd G forward under jax.vjp must
+        still be numerically identical to the remat legacy step for one
+        step (remat is exact by construction)."""
+        cfg = tiny_gan_config()
+        audio = jnp.asarray(speech_like[:16000])[None, :]
+        g0, d0 = create_gan_states(cfg, jax.random.PRNGKey(0))
+        outs = []
+        for fused in (True, False):
+            step = make_gan_train_step(cfg, remat=True, fused_g_forward=fused)
+            g1, d1, m = step(g0, d0, audio, jax.random.PRNGKey(3))
+            outs.append((g1, m))
+        np.testing.assert_allclose(
+            float(outs[0][1]["g_total"]), float(outs[1][1]["g_total"]), rtol=1e-5
+        )
+        for a, b in zip(
+            jax.tree_util.tree_leaves(outs[0][0].params),
+            jax.tree_util.tree_leaves(outs[1][0].params),
+        ):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=4.1e-4)
+
     def test_bf16_mixed_precision_step(self, speech_like):
         """compute_dtype=bf16: master weights/opt state stay f32, losses are
         finite and track the f32 step at step 1, and repeated steps learn."""
