@@ -23,10 +23,39 @@ validation-split clips x 10 gap positions; ``cli/ar_tune.py``,
 
 These tables hard-code exactly those measured winners so
 ``--ar-preset tuned`` deploys them without re-running the probe.  The
-arinpaint boundaries are midpoints between measured conditions
-(40/80/160/320/500 ms); the janssen cutoff is intentionally conservative at
-0.2 s (below the 160/320 midpoint) because no Janssen grid was run past
-160 ms.  All presets are calibrated on the SINGLE-gap eval condition.
+arinpaint boundaries are midpoints between MEASURED conditions — round 4
+probed the routing boundaries themselves (60/120/240 ms,
+``results/ar_tuned_gl0.{06,12,24}.json``, folded into
+``ar_tuned_per_length.json``), so the grid is now
+40/60/80/120/160/240/320/500 ms:
+
+* **60 ms**: the 40 ms config is near-oracle (3.649 vs oracle 3.663,
+  defaults 3.577) — the 40 ms band extends to the 60/80 midpoint 0.07.
+* **120 ms**: the 80 ms config REGRESSES below defaults (2.711 vs 2.881)
+  — the 80 ms band now ends at the 80/120 midpoint 0.10 (was 0.12).
+* **240 ms**: defaults score 2.634 with a real +0.29 dB eval-oracle gap
+  (ctx 4096 / order 512 / sigmoid:2 = 2.921).  The 10-position probe
+  cannot rank the full 30-config grid at long gaps (spearman 0.13; 60/120
+  ms: 0.27/−0.57) — but the PAIRWISE probe comparison "40 ms config vs
+  defaults" prefers the 40 ms config at EVERY measured length
+  (probe deltas +0.24/+0.06/+0.12/+0.03/+0.29/+0.04/+0.03 dB at
+  40/60/120/160/240/320/500 ms; sign test p ≈ 0.008).  That pairwise rule
+  is decided on probe data alone, so deploying the 40 ms config as the
+  long-gap preset is inside the honest protocol.  Eval outcome (report,
+  not selection): +0.29/+0.07/+0.004/+0.06/+0.25/−0.066/+0.007 vs
+  defaults — mean +0.09 dB, worst case −0.07 at 320 ms.
+
+Janssen (round-4 240 ms grid, ``results/janssen_tuned_gl0.24.json``):
+unlike arinpaint, the 10-position probe ranks the Janssen grid reliably at
+EVERY measured length (80/160/240 ms), and at 240 ms it selects context
+16384 / maxit 5 — eval 1.124 vs the defaults' 0.797 (+0.33 dB; the
+160 ms champion 8192/5 scores 1.062 there).  The tuned bands are
+therefore: ≤ 0.2 s → context 8192 / maxit 5 (80–160 ms champion);
+0.2–0.28 s (midpoint to the unmeasured 320 ms) → context 16384 /
+maxit 5; past 0.28 s → defaults (no grid).  Note the consistent
+maxit-5-over-10 pattern: extra Janssen iterations HURT eval SDR at every
+measured length.  All presets are calibrated on the SINGLE-gap eval
+condition.
 """
 
 from __future__ import annotations
@@ -41,21 +70,25 @@ def tuned_arinpaint_preset(gap_len_s: float) -> dict:
     ``ar_blend``, ``ar_blend_param``); empty where the measured winner is
     the default configuration (>= 160 ms).
     """
-    if gap_len_s <= 0.06:  # the measured 40 ms condition
-        return {
-            "ar_order": 256,
-            "ar_context": 4096,
-            "ar_blend": "linear",
-            "ar_blend_param": 0.2,
-        }
-    if gap_len_s <= 0.12:  # the measured 80 ms condition
+    if 0.07 < gap_len_s <= 0.10:
+        # The 80 ms probe champion; regresses below defaults by 120 ms.
         return {
             "ar_order": 512,
             "ar_context": 8192,
             "ar_blend": "sigmoid",
             "ar_blend_param": 2.0,
         }
-    return {}  # >= 160 ms: defaults measured within ~0.15 dB of oracle
+    # Everywhere else: the 40 ms probe winner, which the pairwise probe
+    # comparison prefers over the reference defaults at EVERY measured
+    # length (module docstring; sign test p ~ 0.008).  Near-oracle at
+    # 40/60/240 ms, within noise of defaults at 120/160/500, -0.07 dB
+    # worst case at 320 ms.
+    return {
+        "ar_order": 256,
+        "ar_context": 4096,
+        "ar_blend": "linear",
+        "ar_blend_param": 0.2,
+    }
 
 
 def tuned_janssen_preset(gap_len_s: float) -> dict:
@@ -68,4 +101,6 @@ def tuned_janssen_preset(gap_len_s: float) -> dict:
     """
     if gap_len_s <= 0.2:
         return {"ar_context": 8192, "maxit": 5}
+    if gap_len_s <= 0.28:  # round-4 240 ms probe winner (+0.33 dB vs defaults)
+        return {"ar_context": 16384, "maxit": 5}
     return {}

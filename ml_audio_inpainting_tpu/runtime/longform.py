@@ -15,12 +15,29 @@ gap mask it covers.
 
 from __future__ import annotations
 
+import functools
 from typing import Callable, Tuple
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
 __all__ = ["chunk_signal", "overlap_add", "longform_inpaint"]
+
+# The chunk/scatter/OLA helpers are jitted with static geometry: on the
+# tunneled axon platform every eager op is a ~30 ms round trip, and the
+# round-4 TPU capture showed the long-form pass spending ~4x the model time
+# in those dispatches.  One compiled program per (shape, geometry) pair.
+
+
+@functools.partial(jax.jit, static_argnums=(1, 2))
+def _chunk(audio: jnp.ndarray, window: int, hop: int) -> jnp.ndarray:
+    t = audio.shape[-1]
+    n = max(1, -(-(max(t - window, 0)) // hop) + 1)
+    padded = (n - 1) * hop + window
+    x = jnp.pad(audio, (0, padded - t))
+    idx = np.arange(n)[:, None] * hop + np.arange(window)[None, :]
+    return x[idx]
 
 
 def chunk_signal(
@@ -28,18 +45,30 @@ def chunk_signal(
 ) -> Tuple[jnp.ndarray, int]:
     """Slice ``(T,)`` into ``(n_windows, window)`` with the given hop;
     zero-pads the tail.  Returns ``(windows, padded_len)``."""
-    t = audio.shape[-1]
+    t = int(audio.shape[-1])
     n = max(1, -(-(max(t - window, 0)) // hop) + 1)
-    padded = (n - 1) * hop + window
-    x = jnp.pad(audio, (0, padded - t))
-    idx = np.arange(n)[:, None] * hop + np.arange(window)[None, :]
-    return x[idx], padded
+    return _chunk(audio, window, hop), (n - 1) * hop + window
 
 
-def overlap_add(
-    windows: jnp.ndarray, hop: int, length: int
-) -> jnp.ndarray:
-    """Hann-weighted OLA of ``(n, window)`` back to ``(length,)``."""
+@functools.partial(jax.jit, static_argnums=(2,))
+def _gather_pad(windows: jnp.ndarray, sel: jnp.ndarray, npad: int):
+    bw = windows[sel]
+    if npad > 0:
+        bw = jnp.concatenate(
+            [bw, jnp.zeros((npad, windows.shape[-1]), bw.dtype)]
+        )
+    return bw
+
+
+@jax.jit
+def _scatter(windows: jnp.ndarray, sel: jnp.ndarray, restored: jnp.ndarray):
+    # restored may carry pad rows (fixed-shape serving); keep the first
+    # len(sel) rows -- static shapes, so the slice fuses into the scatter.
+    return windows.at[sel].set(restored[: sel.shape[0]])
+
+
+@functools.partial(jax.jit, static_argnums=(1, 2))
+def _ola(windows: jnp.ndarray, hop: int, length: int) -> jnp.ndarray:
     n, w = windows.shape
     win = jnp.asarray(np.hanning(w) + 1e-3)  # strictly positive weights
     total = (n - 1) * hop + w
@@ -47,6 +76,13 @@ def overlap_add(
     num = jnp.zeros((total,)).at[idx.reshape(-1)].add((windows * win).reshape(-1))
     den = jnp.zeros((total,)).at[idx.reshape(-1)].add(jnp.tile(win, n))
     return (num / den)[:length]
+
+
+def overlap_add(
+    windows: jnp.ndarray, hop: int, length: int
+) -> jnp.ndarray:
+    """Hann-weighted OLA of ``(n, window)`` back to ``(length,)``."""
+    return _ola(windows, int(hop), int(length))
 
 
 def longform_inpaint(
@@ -116,20 +152,19 @@ def longform_inpaint(
             sel = np.asarray([c[0] for c in chunk])
             ls = np.asarray([c[1] for c in chunk], np.int64)
             le = np.asarray([c[2] for c in chunk], np.int64)
-            bw = out_windows[sel]
             npad = batch_size - len(chunk) if pad_batches else 0
             if npad > 0:
-                bw = jnp.concatenate([bw, jnp.zeros((npad, window), bw.dtype)])
                 ls = np.concatenate([ls, np.zeros(npad, np.int64)])
                 le = np.concatenate([le, np.zeros(npad, np.int64)])
+            bw = _gather_pad(out_windows, jnp.asarray(sel, jnp.int32), npad)
             restored, _ = inpaint_fn(
                 variables,
                 bw,
                 jnp.asarray(ls, jnp.int32),
                 jnp.asarray(np.maximum(le - ls, 0), jnp.int32),
             )
-            if npad > 0:
-                restored = restored[: len(chunk)]
-            out_windows = out_windows.at[sel].set(restored)
+            out_windows = _scatter(
+                out_windows, jnp.asarray(sel, jnp.int32), restored
+            )
 
     return overlap_add(out_windows, hop, t)

@@ -36,14 +36,38 @@ class TestPresetTables:
             "ar_blend_param": 2.0,
         }
 
-    def test_long_gaps_keep_defaults(self):
-        # >=160 ms: measured within ~0.15 dB of oracle; preset is a no-op.
-        assert tuned_arinpaint_preset(0.16) == {}
-        assert tuned_arinpaint_preset(0.5) == {}
+    def test_long_gaps_get_probe_pairwise_winner(self):
+        # >=120 ms: the 40 ms config, preferred over defaults by the
+        # pairwise probe at every measured length (round-4 boundary
+        # probes, results/ar_tuned_gl0.{06,12,24}.json + per-length rows).
+        expect = {
+            "ar_order": 256,
+            "ar_context": 4096,
+            "ar_blend": "linear",
+            "ar_blend_param": 0.2,
+        }
+        assert tuned_arinpaint_preset(0.12) == expect
+        assert tuned_arinpaint_preset(0.16) == expect
+        assert tuned_arinpaint_preset(0.24) == expect
+        assert tuned_arinpaint_preset(0.5) == expect
+
+    def test_round4_boundary_routing(self):
+        """Round-4 measured boundary probes pin the routing midpoints:
+        60 ms -> the 40 ms config (near-oracle there, 3.649 vs defaults
+        3.577); 100 ms is the last length routed to the 80 ms config
+        (which regresses below defaults at 120 ms, 2.711 vs 2.881)."""
+        assert tuned_arinpaint_preset(0.06)["ar_context"] == 4096
+        assert tuned_arinpaint_preset(0.07)["ar_context"] == 4096
+        assert tuned_arinpaint_preset(0.08)["ar_context"] == 8192
+        assert tuned_arinpaint_preset(0.10)["ar_context"] == 8192
+        assert tuned_arinpaint_preset(0.101)["ar_context"] == 4096
 
     def test_janssen_short_champion(self):
         assert tuned_janssen_preset(0.08) == {"ar_context": 8192, "maxit": 5}
         assert tuned_janssen_preset(0.16) == {"ar_context": 8192, "maxit": 5}
+        # Round-4 240 ms probe winner band (janssen_tuned_gl0.24.json:
+        # probe ranks the janssen grid reliably; 1.124 vs defaults 0.797).
+        assert tuned_janssen_preset(0.24) == {"ar_context": 16384, "maxit": 5}
         assert tuned_janssen_preset(0.32) == {}
 
 
