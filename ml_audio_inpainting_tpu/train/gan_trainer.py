@@ -136,26 +136,25 @@ def make_gan_train_step(
     compute_dtype=None,
     remat: bool = False,
     g_ema: float = 0.0,
-    fused_g_forward: bool = True,
+    fused_g_forward: bool = False,
 ) -> Callable:
     """Build the fused two-optimizer step.
 
-    ``fused_g_forward`` (default on): run the generator forward ONCE per
-    step via ``jax.vjp`` and share it between the two updates — the
-    detached ``fake`` for the D step and the pullback for the G gradients.
-    The reference computes ``fake`` once and reuses the tensor for both
-    optimizers (``models/GAN/train.py:341-378``); the naive functional
-    translation ran the U-Net forward twice (once detached for D, once
-    inside the G ``value_and_grad``), which XLA does not CSE because the
-    differentiated copy also saves residuals.  Same math, same PRNG
-    stream, bitwise-identical D step; G gradients differ only by FP
-    reassociation (pinned by ``test_fused_g_forward_matches_legacy``).
-    Measured on TPU v5e (B=32 bf16): eliminating the duplicate forward is
-    a step-throughput win; the trade is that the saved residuals stay
-    live across the D step (with ``remat`` there are no residuals — the
-    fused+remat combination saves the duplicate forward outright).
-    ``False`` keeps the legacy two-forward program (the reference
-    implementation for the equivalence test).
+    ``fused_g_forward``: run the generator forward ONCE per step via
+    ``jax.vjp`` and share it between the two updates — the detached
+    ``fake`` for the D step and the pullback for the G gradients,
+    mirroring the reference's reuse of one ``fake`` tensor
+    (``models/GAN/train.py:341-378``).  **Measured NULL on TPU v5e**
+    (B=32 bf16, ``results/gan_fused_g_forward_ab.json``): XLA already
+    CSEs the written-twice forward — the pure detached forward's ops are
+    a subset of the VJP forward's, so both variants compile to the SAME
+    program (15.99 TFLOP, 12.04 GiB peak for each) and the interleaved
+    A/B measures 3.612 vs 3.617 steps/s.  The default therefore stays the
+    two-forward form (house rule: defaults unchanged on a measured null);
+    the fused path remains as the recorded experiment with equivalence
+    pinned by ``test_fused_g_forward_matches_legacy`` (same math, same
+    PRNG stream, bitwise-identical D step, G grads differ only by FP
+    reassociation).
 
     ``vgg``: ``(model, variables)`` from :func:`vgg19_params`; pass None to
     drop the VGG terms (reference behavior when both lambdas are 0,
