@@ -322,7 +322,14 @@ def _run(args) -> dict:
 
 
 def _perturb_one_leaf(params):
-    """Return params with the first floating leaf moved 1 ulp toward +inf."""
+    """Return params with the first NONZERO floating leaf moved 1 ulp
+    toward +inf.
+
+    The first leaf in tree order is typically a zero-initialized
+    BatchNorm bias, and ``nextafter(0, +inf)`` is a subnormal that XLA's
+    flush-to-zero erases on device -- perturbing it measures nothing
+    (the first run of this control recorded exactly 0 drift that way).
+    A nonzero kernel's 1-ulp bump is representable and survives."""
     import jax
     import numpy as np
 
@@ -330,14 +337,19 @@ def _perturb_one_leaf(params):
     bumped = False
     out = []
     for leaf in leaves:
-        if not bumped and hasattr(leaf, "dtype") and leaf.dtype == "float32":
+        if (
+            not bumped
+            and hasattr(leaf, "dtype")
+            and leaf.dtype == "float32"
+            and float(np.max(np.abs(np.asarray(leaf)))) > 1e-20
+        ):
             arr = np.asarray(leaf)
             out.append(np.nextafter(arr, np.float32(np.inf)))
             bumped = True
         else:
             out.append(leaf)
     if not bumped:
-        raise ValueError("no float32 leaf to perturb")
+        raise ValueError("no nonzero float32 leaf to perturb")
     return jax.tree_util.tree_unflatten(treedef, out)
 
 

@@ -36,6 +36,10 @@ RP_EXPECTED = [4.662, 2.371]
 #: trained --batch-size 16 --train-dtype bf16 --g-ema 0.999; recorded
 #: 2026-08-18, CPU == TPU to 0.01 dB)
 BF16_EXPECTED = [4.929, 2.889]
+#: round-4 CNN bf16 mixed-precision checkpoint (results/cnn_bf16_r4_eval.json;
+#: trained --train-dtype bf16 on the f32 headline recipe; 9-clip mean +2.55
+#: == the f32 headline; recorded 2026-08-19 TPU)
+CNN_BF16_EXPECTED = [6.073, 1.293]
 #: committed refiner head (results/refine_analysis.json study artifact — an
 #: in-domain head that does NOT transfer to real speech; this gate pins
 #: artifact + inference-path stability, not quality; recorded 2026-08-17 CPU)
@@ -101,6 +105,24 @@ def test_cnn_headline_checkpoint(tmp_path, clip_dir):
     got = data["results"]["cnn_blstm"]["gap_sdr_db"]
     for g, e in zip(got, CNN_EXPECTED):
         assert abs(g - e) < TOL, (got, CNN_EXPECTED)
+
+
+def test_cnn_bf16_recipe_checkpoint(tmp_path, clip_dir):
+    """The round-4 CNN bf16 mixed-precision checkpoint (+2.55 claim: bf16
+    training is quality-neutral for this family too, at +51% step
+    throughput -- results/cnn_bf16_r4_eval.json; same recipe as the f32
+    headline run plus --train-dtype bf16, probe-best step 1500)."""
+    data = _run_evaluate(
+        tmp_path, clip_dir,
+        [
+            "--models", "cnn_blstm",
+            "--checkpoint",
+            str(REPO / "results/checkpoints/cnn_blstm_formant_v2_bf16_r4.npz"),
+        ],
+    )
+    got = data["results"]["cnn_blstm"]["gap_sdr_db"]
+    for g, e in zip(got, CNN_BF16_EXPECTED):
+        assert abs(g - e) < TOL, (got, CNN_BF16_EXPECTED)
 
 
 def test_gan_real_probe_checkpoint(tmp_path, clip_dir):
