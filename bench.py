@@ -68,8 +68,13 @@ def _link_probe(jax, jnp, mb: float = 8.0):
     # The download probe must fetch a COMPUTED device array: fetching the
     # uploaded array back would be served from its committed host copy
     # without touching the wire (first capture measured a bogus 131 GB/s).
-    dev = jax.jit(lambda x: x + 1.0)(jnp.asarray(host))
-    np.asarray(reduce_fn(dev))  # compile + settle
+    # It must also fetch a DIFFERENT array each repeat -- jax caches the
+    # host copy on first device->host transfer, so re-fetching the same
+    # array times a memcpy (second bogus capture: 135 GB/s median-of-3
+    # where repeats 2-3 were cache hits).
+    add = jax.jit(lambda x, c: x + c)
+    devs = [add(jnp.asarray(host), float(i)) for i in range(3)]
+    np.asarray(reduce_fn(devs[0]))  # compile + settle
 
     tiny = jnp.zeros((8,), jnp.float32)
     np.asarray(reduce_fn(tiny))
@@ -81,7 +86,8 @@ def _link_probe(jax, jnp, mb: float = 8.0):
     rtt_ms = 1000.0 * float(np.median(rtts))
 
     downs = []
-    for _ in range(3):
+    for dev in devs:
+        np.asarray(reduce_fn(dev))  # settle: the add must not count as fetch time
         t0 = _time.perf_counter()
         np.asarray(dev)
         downs.append(_time.perf_counter() - t0)
