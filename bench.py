@@ -465,20 +465,30 @@ def main() -> None:
 
     # BASELINE config #5: CNN+BiLSTM training throughput, f32 and bf16
     # mixed precision (--train-dtype bf16 for this family, VERDICT r3 #4).
-    for dtype_tag, compute_dtype in (("", None), ("_bf16", jnp.bfloat16)):
+    # The extra bf16 B=128 row is the measured batch-scaling record: the
+    # BiLSTM scan is latency-bound (results/profiles/README.md), so batch
+    # amortizes the fixed per-scan-step cost — 3868 s-audio/s at B=128 vs
+    # 1444 at B=32 in the round-4 study (results/cnn_batch_scaling.json).
+    cnn_rows = [("", None, batch), ("_bf16", jnp.bfloat16, batch)]
+    if jax.default_backend() != "cpu":
+        # Meaningful only where batch amortizes real accelerator dispatch;
+        # on the CPU smoke path a 128-clip step just burns minutes.
+        cnn_rows.append(("_b128_bf16", jnp.bfloat16, 128))
+    for dtype_tag, compute_dtype, cb in cnn_rows:
+        caudio = audio if cb == batch else jnp.tile(audio, (-(-cb // batch), 1))[:cb]
         step = make_cnn_train_step(ccfg, compute_dtype=compute_dtype)
         state = cstate
 
         def one_step():
             nonlocal state
-            state, metrics = step(state, audio, jax.random.PRNGKey(0))
+            state, metrics = step(state, caudio, jax.random.PRNGKey(0))
             return metrics["loss"]
 
         dt = _measure(one_step, iters=5)
         emit(f"cnn_blstm_train_steps_per_sec{dtype_tag}", 1.0 / dt, "steps/s")
         emit(
             f"cnn_blstm_train_audio_seconds_per_sec{dtype_tag}",
-            batch * clip_s / dt,
+            cb * clip_s / dt,
             "s_audio/s/chip",
         )
 
@@ -489,7 +499,7 @@ def main() -> None:
         try:
             compiled = (
                 jax.jit(step)
-                .lower(state, audio, jax.random.PRNGKey(0))
+                .lower(state, caudio, jax.random.PRNGKey(0))
                 .compile()
             )
             ca = compiled.cost_analysis()
