@@ -40,6 +40,13 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--base-dir", type=str, default=".")
     p.add_argument("--model-parallel", type=int, default=1)
     p.add_argument("--resume", action="store_true")
+    p.add_argument("--resume-from", type=str, default=None,
+                   help="orbax checkpoint dir of a PRIOR run to restore the "
+                        "latest step from (run dirs are timestamped, so "
+                        "--resume alone only sees the current run's dir); "
+                        "training continues into this run's own dir. Pass "
+                        "the same --ema/--train-dtype the prior run used so "
+                        "the state template matches")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--valid-every", type=int, default=0,
                    help="run a validation pass every N steps (0 = off)")
@@ -389,6 +396,12 @@ def main(argv=None) -> None:
     ckpt = CheckpointManager(
         run.checkpoint_dir, save_interval_steps=1, max_to_keep=5
     )
+    # Cross-run resume: restore from another run's dir, keep saving to ours.
+    resume_src = ckpt if args.resume else None
+    if args.resume_from:
+        resume_src = CheckpointManager(args.resume_from, max_to_keep=None)
+        if resume_src.latest_step() is None:
+            raise SystemExit(f"--resume-from {args.resume_from}: no checkpoint found")
     key = jax.random.PRNGKey(args.seed)
     steps_per_epoch = max(1, len(dataset) // cfg.training.batch_size)
     ckpt_every = cfg.logging.checkpoint_interval * steps_per_epoch
@@ -400,9 +413,9 @@ def main(argv=None) -> None:
         )
 
         state = create_cnn_state(cfg, key, ema=args.ema)
-        if args.resume and ckpt.latest_step() is not None:
-            state = ckpt.restore(state)
-            run.logger.info("resumed from step %s", ckpt.latest_step())
+        if resume_src is not None and resume_src.latest_step() is not None:
+            state = resume_src.restore(state)
+            run.logger.info("resumed from step %s", resume_src.latest_step())
         cnn_compute_dtype = jnp.bfloat16 if args.train_dtype == "bf16" else None
         step_fn = make_sharded_step(
             make_cnn_train_step(cfg, ema=args.ema, compute_dtype=cnn_compute_dtype),
@@ -485,10 +498,10 @@ def main(argv=None) -> None:
             in_shardings=(g_sh, d_sh, batch_sharding(mesh), replicated(mesh)),
             out_shardings=(g_sh, d_sh, replicated(mesh)),
         )
-        if args.resume and ckpt.latest_step() is not None:
-            restored = ckpt.restore({"g": g_state, "d": d_state})
+        if resume_src is not None and resume_src.latest_step() is not None:
+            restored = resume_src.restore({"g": g_state, "d": d_state})
             g_state, d_state = restored["g"], restored["d"]
-            run.logger.info("resumed from step %s", ckpt.latest_step())
+            run.logger.info("resumed from step %s", resume_src.latest_step())
         g_state = jax.device_put(g_state, g_sh)
         d_state = jax.device_put(d_state, d_sh)
 

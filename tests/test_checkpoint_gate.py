@@ -36,6 +36,12 @@ RP_EXPECTED = [4.662, 2.371]
 #: trained --batch-size 16 --train-dtype bf16 --g-ema 0.999; recorded
 #: 2026-08-18, CPU == TPU to 0.01 dB)
 BF16_EXPECTED = [4.929, 2.889]
+#: round-4 GAN B=32 bf16 throughput-recipe checkpoint
+#: (results/gan_b32_bf16_r4_eval.json; trained --batch-size 32
+#: --train-dtype bf16 --g-ema 0.999 --feed device — the 669 s-audio/s
+#: training-record recipe — continued to step 14000 via --resume-from;
+#: 9-clip mean +3.51; recorded 2026-08-19, CPU == TPU to 0.01 dB)
+B32_BF16_EXPECTED = [4.386, 2.28]
 #: round-4 CNN bf16 mixed-precision checkpoint (results/cnn_bf16_r4_eval.json;
 #: trained --train-dtype bf16 on the f32 headline recipe; 9-clip mean +2.55
 #: == the f32 headline; recorded 2026-08-19 TPU)
@@ -159,6 +165,28 @@ def test_gan_bf16_recipe_checkpoint(tmp_path, clip_dir):
     got = data["results"]["gan"]["gap_sdr_db"]
     for g, e in zip(got, BF16_EXPECTED):
         assert abs(g - e) < TOL, (got, BF16_EXPECTED)
+    assert min(data["results"]["gan"]["psm"]) > 0.99
+
+
+def test_gan_b32_bf16_recipe_checkpoint(tmp_path, clip_dir):
+    """The round-4 B=32 bf16 throughput-record recipe checkpoint (+3.51
+    claim: the 669 s-audio/s training configuration — B=32, --train-dtype
+    bf16, --feed device, --g-ema 0.999 — trains to quality inside the
+    recipe's seed spread; also end-to-end evidence for --resume-from,
+    which carried the run 6200 → 14000 across two processes)."""
+    data = _run_evaluate(
+        tmp_path, clip_dir,
+        [
+            "--models", "gan",
+            "--config", str(REPO / "configs/gan.yaml"),
+            "--checkpoint",
+            str(REPO / "results/checkpoints/gan_formant_v2_b32_bf16_r4.npz"),
+            "--mode", "enhanced",
+        ],
+    )
+    got = data["results"]["gan"]["gap_sdr_db"]
+    for g, e in zip(got, B32_BF16_EXPECTED):
+        assert abs(g - e) < TOL, (got, B32_BF16_EXPECTED)
     assert min(data["results"]["gan"]["psm"]) > 0.99
 
 

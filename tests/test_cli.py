@@ -122,6 +122,39 @@ class TestTrainCLI:
         variables = load_params_npz(npz[0])
         assert "params" in variables
 
+    def test_resume_from_prior_run_dir(self, tmp_path):
+        """--resume-from restores the latest step of ANOTHER run's orbax dir
+        (run dirs are timestamped, so plain --resume cannot see them) and
+        continues counting from there into the new run's own dir."""
+        from ml_audio_inpainting_tpu.cli.train import main
+
+        cfg_path = small_cfg_yaml(tmp_path, "cnn_blstm")
+        base = ["--model", "cnn_blstm", "--config", str(cfg_path),
+                "--synthetic", "4", "--base-dir", str(tmp_path)]
+        main(base + ["--steps", "2", "--run-name", "first"])
+        first = next((tmp_path / "checkpoints").glob("first_*"))
+        main(base + ["--steps", "5", "--run-name", "second",
+                     "--resume-from", str(first)])
+        logs = {p.name: p.read_text() for p in (tmp_path / "logs").glob("second_*.log")}
+        text = "".join(logs.values())
+        assert "resumed from step 2" in text
+        assert "training done at step 5" in text
+        # The continuation saved into its own dir, not the source run's.
+        second = next((tmp_path / "checkpoints").glob("second_*"))
+        assert any(second.iterdir())
+
+    def test_resume_from_missing_dir_fails_loudly(self, tmp_path):
+        import pytest
+
+        from ml_audio_inpainting_tpu.cli.train import main
+
+        cfg_path = small_cfg_yaml(tmp_path, "cnn_blstm")
+        with pytest.raises(SystemExit, match="no checkpoint found"):
+            main(["--model", "cnn_blstm", "--config", str(cfg_path),
+                  "--synthetic", "4", "--steps", "2",
+                  "--base-dir", str(tmp_path), "--run-name", "x",
+                  "--resume-from", str(tmp_path / "nonexistent")])
+
     def test_train_gap_len_and_probe_gap_len(self, tmp_path):
         """--train-gap-len overrides the training corruption length and
         --probe-gap-len the held-out probe condition (long-gap recipe)."""
