@@ -3,7 +3,7 @@
 Question: the BiLSTM scan is latency-bound (results/profiles/README.md:
 per-scan-step time is dominated by fixed overhead, not the tiny recurrent
 matmul), so s-audio/s should keep climbing with batch well past the bench's
-B=32.  Measures steps/s and s-audio/s at B in {32, 64, 128} for bf16 (the
+B=32.  Measures steps/s and s-audio/s at B in {32, 64, 128, 256} for bf16 (the
 recipe dtype) and f32 at B=64, with device-resident inputs (no host feed in
 the timed loop).  Reference hot loop this studies:
 /root/reference/models/CNNBLSTM/train.py:83-121.
@@ -45,6 +45,7 @@ def main():
         (32, "bf16", jnp.bfloat16),
         (64, "bf16", jnp.bfloat16),
         (128, "bf16", jnp.bfloat16),
+        (256, "bf16", jnp.bfloat16),
         (64, "f32", None),
     ):
         ds = SyntheticSpeechDataset(n_items=batch, max_len_s=clip_s)
