@@ -9,6 +9,8 @@ the timed loop).  Reference hot loop this studies:
 /root/reference/models/CNNBLSTM/train.py:83-121.
 
 Run from the repo root: python scripts/cnn_batch_scaling.py
+Optionally pass row specs (e.g. `256:bf16 64:f32`) to run a subset; rows are
+merged into the existing results JSON by (batch, dtype).
 """
 
 import json
@@ -40,14 +42,23 @@ def main():
     clip_s = 5.0
 
     state0 = create_cnn_state(cfg, jax.random.PRNGKey(0))
-    rows = []
-    for batch, dtype_tag, compute_dtype in (
+    all_specs = (
         (32, "bf16", jnp.bfloat16),
         (64, "bf16", jnp.bfloat16),
         (128, "bf16", jnp.bfloat16),
         (256, "bf16", jnp.bfloat16),
         (64, "f32", None),
-    ):
+    )
+    if len(sys.argv) > 1:
+        want = {
+            (int(s.split(":")[0]), s.split(":")[1]) for s in sys.argv[1:]
+        }
+        specs = [s for s in all_specs if (s[0], s[1]) in want]
+    else:
+        specs = list(all_specs)
+
+    rows = []
+    for batch, dtype_tag, compute_dtype in specs:
         ds = SyntheticSpeechDataset(n_items=batch, max_len_s=clip_s)
         audio = jnp.asarray(np.stack([ds[i] for i in range(batch)]))
         step = make_cnn_train_step(cfg, compute_dtype=compute_dtype)
@@ -76,15 +87,26 @@ def main():
         print(json.dumps(row), flush=True)
         rows.append(row)
 
-    out = {
-        "what": "CNN+BiLSTM fused train step batch scaling, device-resident inputs, TPU v5e 1 chip",
-        "measured": "2026-08-19 (round 4)",
-        "rows": rows,
-        "note": "bench.py's cnn lines run B=32 (5.92 f32 / 8.92 bf16 steps/s in the round-4 capture).",
-    }
-    with open("results/cnn_batch_scaling.json", "w") as f:
+    path = "results/cnn_batch_scaling.json"
+    if os.path.exists(path):
+        with open(path) as f:
+            out = json.load(f)
+        merged = {(r["batch"], r["dtype"]): r for r in out.get("rows", [])}
+        for r in rows:
+            merged[(r["batch"], r["dtype"])] = r
+        out["rows"] = sorted(
+            merged.values(), key=lambda r: (r["dtype"], r["batch"])
+        )
+    else:
+        out = {
+            "what": "CNN+BiLSTM fused train step batch scaling, device-resident inputs, TPU v5e 1 chip",
+            "measured": "2026-08-19 (round 4)",
+            "rows": rows,
+            "note": "bench.py's cnn lines run B=32 (5.92 f32 / 8.92 bf16 steps/s in the round-4 capture).",
+        }
+    with open(path, "w") as f:
         json.dump(out, f, indent=1)
-    print("wrote results/cnn_batch_scaling.json")
+    print(f"wrote {path}")
 
 
 if __name__ == "__main__":
