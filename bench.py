@@ -463,6 +463,28 @@ def main() -> None:
         )
         emit("janssen_inference_audio_seconds_per_sec", batch * clip_s / dt, "s_audio/s/chip")
 
+        # Classical AR #2: bidirectional LPC extrapolation in its tuned
+        # deployable config (context 8192, sigmoid blend) — the no-oracle
+        # gap-SDR champion (+2.84 dB at 80 ms, results/README.md).
+        from ml_audio_inpainting_tpu.classical.arinpaint import arinpaint
+
+        ar_solver = jax.jit(
+            jax.vmap(
+                functools.partial(
+                    arinpaint, context=8192, max_gap=2048, blend="sigmoid"
+                )
+            )
+        )
+        dt = _measure(
+            lambda: ar_solver(audio * tmask, tmask, gap_start, gap_len), iters=3
+        )
+        emit(
+            "arinpaint_inference_audio_seconds_per_sec",
+            batch * clip_s / dt,
+            "s_audio/s/chip",
+            note="tuned deployable config (--ar-preset tuned at 80 ms)",
+        )
+
     # BASELINE config #5: CNN+BiLSTM training throughput, f32 and bf16
     # mixed precision (--train-dtype bf16 for this family, VERDICT r3 #4).
     # The extra bf16 B=128 row is the measured batch-scaling record: the
