@@ -144,13 +144,20 @@ class TestShardedTraining:
         ):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2.1e-4)
 
-    def test_gan_dp_step_matches_single_device(self, speech_like):
+    @pytest.mark.parametrize("dtype_tag", ["f32", "bf16"])
+    def test_gan_dp_step_matches_single_device(self, speech_like, dtype_tag):
         """The GAN two-optimizer DP step must be numerically equivalent to
         the single-device step (VERDICT r3 #2) -- the exact analogue of
         test_dp_step_matches_single_device for the flagship family, built
         with the same pjit shardings as cli/train.py's GAN branch.  Pins
         the global-batch BatchNorm reduction, the spectral-norm power
-        iteration and the PRNG folding under sharding."""
+        iteration and the PRNG folding under sharding.
+
+        The bf16 case pins the PRODUCTION recipe (--train-dtype bf16):
+        mixed-precision compute must not change the DP==single-device
+        contract (f32 master weights; the bf16 forward is bitwise-
+        reproducible per device, so the only cross-device freedom is the
+        f32 gradient/BatchNorm reduction order, same as the f32 case)."""
         import sys
 
         sys.path.insert(0, "tests")
@@ -163,7 +170,8 @@ class TestShardedTraining:
 
         cfg = tiny_gan_config()
         g_state, d_state = create_gan_states(cfg, jax.random.PRNGKey(0))
-        step = make_gan_train_step(cfg)
+        compute_dtype = jnp.bfloat16 if dtype_tag == "bf16" else None
+        step = make_gan_train_step(cfg, compute_dtype=compute_dtype)
         audio = jnp.tile(jnp.asarray(speech_like[:16000])[None, :], (8, 1))
         key = jax.random.PRNGKey(7)
 
@@ -182,9 +190,16 @@ class TestShardedTraining:
         p_audio = shard_batch(np.asarray(audio), mesh)
         g_out, d_out, m_out = sharded_step(p_g, p_d, p_audio, key)
 
+        # bf16: the per-device forward is bitwise-reproducible, but batch
+        # reductions that mix bf16 activations (BatchNorm moments, loss
+        # means) see a different association order under DP -- one bf16
+        # rounding step of slack (~2^-8 relative) is the expected scale.
+        m_rtol, bn_rtol, bn_atol = (
+            (2e-5, 1e-4, 1e-5) if dtype_tag == "f32" else (5e-3, 2e-2, 1e-3)
+        )
         for k in ("g_total", "d_total"):
             np.testing.assert_allclose(
-                float(m_out[k]), float(m_ref[k]), rtol=2e-5, err_msg=k
+                float(m_out[k]), float(m_ref[k]), rtol=m_rtol, err_msg=k
             )
         # Adam sign-flip bound: G/D lr 2e-4 -> 4e-4 worst case per step.
         for name, ref, out in (
@@ -208,7 +223,7 @@ class TestShardedTraining:
                 jax.tree_util.tree_leaves(ref), jax.tree_util.tree_leaves(out)
             ):
                 np.testing.assert_allclose(
-                    np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5,
+                    np.asarray(a), np.asarray(b), rtol=bn_rtol, atol=bn_atol,
                     err_msg=name,
                 )
 
