@@ -46,6 +46,13 @@ B32_BF16_EXPECTED = [4.386, 2.28]
 #: trained --train-dtype bf16 on the f32 headline recipe; 9-clip mean +2.55
 #: == the f32 headline; recorded 2026-08-19 TPU)
 CNN_BF16_EXPECTED = [6.073, 1.293]
+#: round-4 CNN B=128 bf16 production-knee checkpoint
+#: (results/cnn_b128_bf16_r4_eval.json; trained at the throughput-record
+#: config — --batch-size 128 --train-dtype bf16 --feed device,
+#: gaps_per_audio=1, LR sqrt-scaled to 3e-4 — probe-best step 320 of 400,
+#: ~8 min wall; 9-clip mean +2.50 ≈ the corpus-limited +2.55 headline;
+#: recorded 2026-08-20, CPU == TPU to 0.008 dB)
+CNN_B128_EXPECTED = [5.922, 1.224]
 #: committed refiner head (results/refine_analysis.json study artifact — an
 #: in-domain head that does NOT transfer to real speech; this gate pins
 #: artifact + inference-path stability, not quality; recorded 2026-08-17 CPU)
@@ -129,6 +136,23 @@ def test_cnn_bf16_recipe_checkpoint(tmp_path, clip_dir):
     got = data["results"]["cnn_blstm"]["gap_sdr_db"]
     for g, e in zip(got, CNN_BF16_EXPECTED):
         assert abs(g - e) < TOL, (got, CNN_BF16_EXPECTED)
+
+
+def test_cnn_b128_recipe_checkpoint(tmp_path, clip_dir):
+    """The round-4 CNN B=128 bf16 production-knee checkpoint (+2.50 claim:
+    the batch-scaling throughput-record config trains to the corpus-limited
+    headline in 400 steps / ~8 min wall — results/cnn_b128_bf16_r4_eval.json)."""
+    data = _run_evaluate(
+        tmp_path, clip_dir,
+        [
+            "--models", "cnn_blstm",
+            "--checkpoint",
+            str(REPO / "results/checkpoints/cnn_blstm_formant_v2_b128_r4.npz"),
+        ],
+    )
+    got = data["results"]["cnn_blstm"]["gap_sdr_db"]
+    for g, e in zip(got, CNN_B128_EXPECTED):
+        assert abs(g - e) < TOL, (got, CNN_B128_EXPECTED)
 
 
 def test_gan_real_probe_checkpoint(tmp_path, clip_dir):
