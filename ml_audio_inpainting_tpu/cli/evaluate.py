@@ -354,6 +354,11 @@ def main(argv=None) -> None:
 
     if args.adapt_steps > 0 and args.n_gaps > 1:
         raise SystemExit("--adapt-steps has no multi-gap eval path yet")
+    if args.n_gaps > 1 and "cnn_phase" in args.models:
+        # The sequential per-gap fallback feeds a neural model the other
+        # gaps' zeros as signal (scores ~0 -- CLAUDE.md); cnn_phase has no
+        # mask-driven multi-gap path yet.
+        raise SystemExit("--models cnn_phase supports single-gap eval only")
 
     results = {}
     adapt_info: dict = {}

@@ -31,7 +31,7 @@ CLASSICAL = (
 def build_argparser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(description="Inpaint gapped audio")
     p.add_argument("--model", required=True,
-                   choices=["gan", "cnn_blstm", "refiner", *CLASSICAL])
+                   choices=["gan", "cnn_blstm", "cnn_phase", "refiner", *CLASSICAL])
     p.add_argument("--gan-checkpoint", type=str,
                    default="results/checkpoints/gan_formant_v2_r2.npz",
                    help="GAN weights npz for --model refiner (the head rides "
@@ -288,9 +288,10 @@ def _build_runner(args, cfg, n_samples: int):
 
         return runner
 
-    if args.model in ("gan", "cnn_blstm"):
+    if args.model in ("gan", "cnn_blstm", "cnn_phase"):
         from ml_audio_inpainting_tpu.runtime.inference import (
             make_cnn_inpaint_fn,
+            make_cnn_phase_inpaint_fn,
             make_gan_inpaint_fn,
         )
         from ml_audio_inpainting_tpu.train.checkpoints import CheckpointManager
@@ -341,6 +342,18 @@ def _build_runner(args, cfg, n_samples: int):
                 create_cnn_state,
             )
 
+            if args.model == "cnn_phase":
+                # Complex 2-channel pipeline: model predicts magnitude AND
+                # phase, so no --phase regime applies (deployable by
+                # construction).  Reference trained but never served this
+                # (old/train_v2_phase.py); no torch checkpoint exists.
+                cfg.model.cnn_blstm.in_channels = 2
+                if args.checkpoint and str(args.checkpoint).endswith((".pt", ".pth")):
+                    raise SystemExit(
+                        "--model cnn_phase has no torch checkpoint port "
+                        "(the reference shipped none); use an npz or orbax dir"
+                    )
+
             if args.checkpoint and str(args.checkpoint).endswith((".pt", ".pth")):
                 # Reference torch checkpoints load directly (port_torch.py).
                 from ml_audio_inpainting_tpu.models.port_torch import (
@@ -367,8 +380,11 @@ def _build_runner(args, cfg, n_samples: int):
                 variables = {"params": state.params}
                 if state.batch_stats is not None:
                     variables["batch_stats"] = state.batch_stats
-            fn = make_cnn_inpaint_fn(cfg, model,
-                                     phase=args.phase, gl_iters=args.gl_iters)
+            if args.model == "cnn_phase":
+                fn = make_cnn_phase_inpaint_fn(cfg, model)
+            else:
+                fn = make_cnn_inpaint_fn(cfg, model,
+                                         phase=args.phase, gl_iters=args.gl_iters)
 
         if getattr(args, "tta_shifts", 1) > 1:
             from ml_audio_inpainting_tpu.runtime.inference import (

@@ -107,6 +107,14 @@ def build_argparser() -> argparse.ArgumentParser:
                         "the exported inference npz all use the EMA "
                         "weights; training (the adversarial game, for the "
                         "GAN) runs on the live weights")
+    p.add_argument("--phase-mode", action="store_true",
+                   help="cnn_blstm only: train the complex 2-channel "
+                        "pipeline (stacked real/imag STFT channels in, "
+                        "complex L1 on the gap out -- the reference's "
+                        "old/train_v2_phase.py recipe). The model predicts "
+                        "magnitude AND phase, so serving needs no phase "
+                        "regime: it is deployable by construction "
+                        "(runtime.inference.make_cnn_phase_inpaint_fn)")
     p.add_argument("--remat", action="store_true",
                    help="rematerialize the GAN step's network forwards "
                         "(jax.checkpoint): backward recomputes activations "
@@ -168,7 +176,17 @@ def main(argv=None) -> None:
         # HBM (conv U-Net + VGG stacks); the CNN step is scan-latency-bound
         # and does not spill at its production batch sizes.
         raise SystemExit("--remat is supported for --model gan only")
+    if args.phase_mode and args.model != "cnn_blstm":
+        raise SystemExit("--phase-mode is supported for --model cnn_blstm only")
     cfg = load_config(args.config) if args.config else Config()
+    if args.phase_mode:
+        cfg.model.cnn_blstm.in_channels = 2
+        if cfg.data.train_n_gaps > 1:
+            raise SystemExit(
+                "--phase-mode has no multi-gap training features "
+                "(cnn_phase_features is single-gap, like the reference's "
+                "phase dataloader)"
+            )
     if args.epochs is not None:
         cfg.training.epochs = args.epochs
         cfg.training.max_n_epochs = args.epochs
@@ -418,7 +436,10 @@ def main(argv=None) -> None:
             run.logger.info("resumed from step %s", resume_src.latest_step())
         cnn_compute_dtype = jnp.bfloat16 if args.train_dtype == "bf16" else None
         step_fn = make_sharded_step(
-            make_cnn_train_step(cfg, ema=args.ema, compute_dtype=cnn_compute_dtype),
+            make_cnn_train_step(
+                cfg, ema=args.ema, compute_dtype=cnn_compute_dtype,
+                phase_mode=args.phase_mode,
+            ),
             state,
             mesh,
         )
@@ -426,14 +447,21 @@ def main(argv=None) -> None:
         if args.valid_every:
             from ml_audio_inpainting_tpu.train.cnn_trainer import make_cnn_eval_step
 
-            eval_fn = make_cnn_eval_step(cfg)
+            eval_fn = make_cnn_eval_step(cfg, phase_mode=args.phase_mode)
 
         probe_fn = None
         if probe_clips is not None:
-            from ml_audio_inpainting_tpu.runtime.inference import make_cnn_inpaint_fn
+            from ml_audio_inpainting_tpu.runtime.inference import (
+                make_cnn_inpaint_fn,
+                make_cnn_phase_inpaint_fn,
+            )
             from ml_audio_inpainting_tpu.train.cnn_trainer import build_model
 
-            probe_fn = make_cnn_inpaint_fn(cfg, build_model(cfg))
+            probe_fn = (
+                make_cnn_phase_inpaint_fn(cfg, build_model(cfg))
+                if args.phase_mode
+                else make_cnn_inpaint_fn(cfg, build_model(cfg))
+            )
 
         def cnn_probe(step, state):
             # Serve the EMA weights when enabled (what deployment would use).

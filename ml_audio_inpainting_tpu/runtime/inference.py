@@ -57,6 +57,7 @@ from ml_audio_inpainting_tpu.utils.precision import cast_floating
 __all__ = [
     "make_gan_inpaint_fn",
     "make_cnn_inpaint_fn",
+    "make_cnn_phase_inpaint_fn",
     "make_gan_inpaint_mask_fn",
     "make_cnn_inpaint_mask_fn",
     "make_tta_shift_fn",
@@ -340,6 +341,56 @@ def make_cnn_inpaint_mask_fn(
             out_mag, phase_clean, phase_impaired, phase_trust, audio,
             sample_mask, phase_mode, gl_iters, kw, n_samples,
         )
+        return restored, composited
+
+    return fn
+
+
+def make_cnn_phase_inpaint_fn(cfg: Config, model) -> Callable:
+    """Jitted inference for the phase-mode (complex 2-channel) CNNBLSTM.
+
+    The model consumes stacked (real, imag) channels of the gapped
+    waveform's raw STFT and predicts the COMPLEX spectrogram -- magnitude
+    AND phase -- so this path needs no phase regime: it is deployable by
+    construction (no oracle anywhere; the entire pipeline runs off the
+    gapped waveform).  The reference trained this pipeline in
+    ``models/CNNBLSTM/old/train_v2_phase.py:87-92`` /
+    ``old/dataloader_phase.py:88-97`` but shipped no eval path for it;
+    this is its serving counterpart, with the standard compositing
+    contract (predicted complex frames inside the gap, the input's frames
+    elsewhere; final time-domain composite keeps every sample outside the
+    gap untouched).
+    """
+    spec_cfg = cfg.data.spectrogram
+
+    @jax.jit
+    def fn(variables, audio: jnp.ndarray, gap_start: jnp.ndarray, gap_len: jnp.ndarray):
+        n_samples = audio.shape[-1]
+        tmask = jax.vmap(
+            lambda s, l: gap_ops.gap_mask(n_samples, s, l, dtype=audio.dtype)
+        )(gap_start, gap_len)
+        kw = dict(
+            n_fft=spec_cfg.n_fft,
+            hop_length=spec_cfg.hop_length,
+            win_length=spec_cfg.win_length,
+        )
+        spec_gap = stft(audio * tmask, **kw)
+        F, N = spec_gap.shape[-2:]
+
+        # CNNBLSTM frame rule: floor at both ends, 1 = gap (the training
+        # features' rule, train/features.cnn_phase_features).
+        def frame_gap_mask(s, l):
+            t = jnp.arange(N)
+            hole = (t >= s // spec_cfg.hop_length) & (t < (s + l) // spec_cfg.hop_length)
+            return jnp.broadcast_to(jnp.where(hole, 1.0, 0.0)[None, :], (F, N))
+
+        gmask = jax.vmap(frame_gap_mask)(gap_start, gap_len)
+        x = jnp.stack([jnp.real(spec_gap), jnp.imag(spec_gap)], axis=-1)
+        pred = model.apply(variables, x, train=False)  # (B, F, N, 2)
+        pred_c = pred[..., 0] + 1j * pred[..., 1]
+        composited = pred_c * gmask + spec_gap * (1.0 - gmask)
+        rec = istft(composited, length=n_samples, **kw)
+        restored = audio * tmask + rec * (1.0 - tmask)
         return restored, composited
 
     return fn

@@ -19,7 +19,7 @@ from flax.training import train_state
 
 from ml_audio_inpainting_tpu.models.cnn_blstm import StackedBLSTMCNN
 from ml_audio_inpainting_tpu.train import features
-from ml_audio_inpainting_tpu.train.losses import cnn_gap_l1_loss
+from ml_audio_inpainting_tpu.train.losses import cnn_gap_l1_loss, cnn_phase_l1_loss
 from ml_audio_inpainting_tpu.utils.config import Config
 from ml_audio_inpainting_tpu.utils.precision import cast_floating
 
@@ -61,7 +61,10 @@ def create_cnn_state(cfg: Config, rng: jax.Array, ema: float = 0.0) -> CNNTrainS
     reference counterpart — the reference serves the raw live weights)."""
     model = build_model(cfg)
     spec = cfg.data.spectrogram
-    dummy = jnp.zeros((1, spec.freq_bins, spec.frames(cfg.data.max_samples)))
+    shape = (1, spec.freq_bins, spec.frames(cfg.data.max_samples))
+    if cfg.model.cnn_blstm.in_channels == 2:
+        shape = shape + (2,)  # phase mode: stacked (real, imag) channels
+    dummy = jnp.zeros(shape)
     variables = model.init(rng, dummy, train=False)
     lr = cfg.training.starter_learning_rate
     if cfg.training.lr_decay != 1.0:
@@ -80,8 +83,21 @@ def create_cnn_state(cfg: Config, rng: jax.Array, ema: float = 0.0) -> CNNTrainS
     )
 
 
-def _feature_fn(cfg: Config):
+def _feature_fn(cfg: Config, phase_mode: bool = False):
     def fn(audio, key):
+        if phase_mode:
+            # Complex 2-channel pipeline (cnn_phase_features); single-gap
+            # corruption only -- the reference's phase dataloader had no
+            # multi-gap variant (old/dataloader_phase.py:88-97).
+            return features.cnn_phase_features(
+                audio,
+                key,
+                cfg.data.spectrogram,
+                gap_len_s=cfg.data.gap_len_s,
+                sample_rate=cfg.data.sample_rate,
+                n_samples=cfg.data.max_samples,
+                gaps_per_audio=cfg.data.gaps_per_audio,
+            )
         return features.cnn_features(
             audio,
             key,
@@ -97,7 +113,7 @@ def _feature_fn(cfg: Config):
 
 
 def make_cnn_train_step(
-    cfg: Config, ema: float = 0.0, compute_dtype=None
+    cfg: Config, ema: float = 0.0, compute_dtype=None, phase_mode: bool = False
 ) -> Callable[[CNNTrainState, jnp.ndarray, jax.Array], Tuple[CNNTrainState, Dict]]:
     """Build the jitted train step: gaps -> STFTs -> forward -> L1 -> Adam.
 
@@ -113,8 +129,13 @@ def make_cnn_train_step(
     (cast VJPs return f32 cotangents, so the optimizer sees f32 grads).
     BatchNorm running statistics are NOT cast: the batch forward uses batch
     stats (stays ``compute_dtype``) while the running-average update then
-    promotes to f32, so the EMA accumulates at full precision."""
-    feat = _feature_fn(cfg)
+    promotes to f32, so the EMA accumulates at full precision.
+
+    ``phase_mode``: train the complex 2-channel pipeline (the reference's
+    ``old/train_v2_phase.py:87-92`` recipe): stacked (real, imag) STFT
+    channels in, complex L1 on the gap out.  Requires
+    ``cfg.model.cnn_blstm.in_channels == 2``."""
+    feat = _feature_fn(cfg, phase_mode=phase_mode)
     cast = (
         (lambda tr: cast_floating(tr, compute_dtype))
         if compute_dtype is not None
@@ -124,17 +145,23 @@ def make_cnn_train_step(
     @jax.jit
     def step(state: CNNTrainState, audio: jnp.ndarray, key: jax.Array):
         batch = feat(audio, key)
+        net_in = batch["spec_gap"] if phase_mode else batch["log_gap"]
 
         def loss_fn(params):
             pred, updates = state.apply_fn(
                 {"params": cast(params), "batch_stats": state.batch_stats},
-                cast(batch["log_gap"]),
+                cast(net_in),
                 train=True,
                 mutable=["batch_stats"],
             )
-            loss = cnn_gap_l1_loss(
-                pred.astype(jnp.float32), batch["target_mag"], batch["gap_mask"]
-            )
+            if phase_mode:
+                loss = cnn_phase_l1_loss(
+                    pred.astype(jnp.float32), batch["target"], batch["gap_mask"]
+                )
+            else:
+                loss = cnn_gap_l1_loss(
+                    pred.astype(jnp.float32), batch["target_mag"], batch["gap_mask"]
+                )
             return loss, updates
 
         (loss, updates), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
@@ -153,19 +180,24 @@ def make_cnn_train_step(
     return step
 
 
-def make_cnn_eval_step(cfg: Config) -> Callable[[CNNTrainState, jnp.ndarray, jax.Array], Dict]:
+def make_cnn_eval_step(
+    cfg: Config, phase_mode: bool = False
+) -> Callable[[CNNTrainState, jnp.ndarray, jax.Array], Dict]:
     """Jitted validation step (``models/CNNBLSTM/train.py:128-150``)."""
-    feat = _feature_fn(cfg)
+    feat = _feature_fn(cfg, phase_mode=phase_mode)
 
     @jax.jit
     def step(state: CNNTrainState, audio: jnp.ndarray, key: jax.Array):
         batch = feat(audio, key)
         pred = state.apply_fn(
             {"params": state.params, "batch_stats": state.batch_stats},
-            batch["log_gap"],
+            batch["spec_gap"] if phase_mode else batch["log_gap"],
             train=False,
         )
-        loss = cnn_gap_l1_loss(pred, batch["target_mag"], batch["gap_mask"])
+        if phase_mode:
+            loss = cnn_phase_l1_loss(pred, batch["target"], batch["gap_mask"])
+        else:
+            loss = cnn_gap_l1_loss(pred, batch["target_mag"], batch["gap_mask"])
         return {"loss": loss}
 
     return step

@@ -1,0 +1,127 @@
+"""Phase-mode (complex 2-channel) CNNBLSTM: training step + serving path.
+
+The reference trained this pipeline (``models/CNNBLSTM/old/
+train_v2_phase.py:87-92``, ``old/dataloader_phase.py:88-97``) but never
+shipped an eval path; here both directions are wired end to end
+(``make_cnn_train_step(phase_mode=True)``,
+``runtime.inference.make_cnn_phase_inpaint_fn``) and these tests pin the
+contracts: the step trains (finite, decreasing loss), serving is
+deployable by construction (no oracle input anywhere; exact time
+composite), and the CLI flag round-trips.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ml_audio_inpainting_tpu.runtime.inference import make_cnn_phase_inpaint_fn
+from ml_audio_inpainting_tpu.train.cnn_trainer import (
+    build_model,
+    create_cnn_state,
+    make_cnn_train_step,
+)
+from ml_audio_inpainting_tpu.utils.config import Config, SpectrogramConfig
+
+
+def phase_cfg() -> Config:
+    cfg = Config()
+    cfg.data.max_len_s = 1.0
+    cfg.data.gap_len_s = 0.08
+    cfg.data.spectrogram = SpectrogramConfig(n_fft=512, hop_length=192, win_length=384)
+    cfg.model.cnn_blstm.in_channels = 2
+    cfg.model.cnn_blstm.lstm_hidden_dim = 32
+    cfg.model.cnn_blstm.num_lstm_layers = 1
+    cfg.model.cnn_blstm.enc_filters = [4, 8]
+    cfg.model.cnn_blstm.dec_filters = [4, 8]
+    return cfg
+
+
+class TestPhaseModeTraining:
+    def test_step_runs_and_loss_decreases(self, speech_like):
+        cfg = phase_cfg()
+        state = create_cnn_state(cfg, jax.random.PRNGKey(0))
+        step = make_cnn_train_step(cfg, phase_mode=True)
+        audio = jnp.asarray(
+            np.stack([speech_like[:16000], speech_like[500:16500]])
+        )
+        losses = []
+        for i in range(8):
+            state, m = step(state, audio, jax.random.PRNGKey(i))
+            losses.append(float(m["loss"]))
+        assert np.all(np.isfinite(losses))
+        assert losses[-1] < losses[0]
+
+    def test_bf16_step_finite(self, speech_like):
+        cfg = phase_cfg()
+        state = create_cnn_state(cfg, jax.random.PRNGKey(0))
+        step = make_cnn_train_step(cfg, phase_mode=True, compute_dtype=jnp.bfloat16)
+        audio = jnp.asarray(speech_like[:16000])[None, :]
+        state, m = step(state, audio, jax.random.PRNGKey(0))
+        assert np.isfinite(float(m["loss"]))
+        # master weights stay f32
+        leaf = jax.tree_util.tree_leaves(state.params)[0]
+        assert leaf.dtype == jnp.float32
+
+
+class TestPhaseModeServing:
+    def test_exact_outside_gap_and_finite(self, speech_like):
+        """Deployable by construction: output == input bitwise outside the
+        gap (time composite), finite inside, complex aux has model phase."""
+        cfg = phase_cfg()
+        model = build_model(cfg)
+        state = create_cnn_state(cfg, jax.random.PRNGKey(0))
+        variables = {"params": state.params, "batch_stats": state.batch_stats}
+        fn = make_cnn_phase_inpaint_fn(cfg, model)
+        audio = jnp.asarray(speech_like[:16000])[None, :]
+        gs, gl = jnp.asarray([7000]), jnp.asarray([1280])
+        restored, spec = fn(variables, audio, gs, gl)
+        r, a = np.asarray(restored[0]), np.asarray(audio[0])
+        assert np.all(np.isfinite(r))
+        np.testing.assert_array_equal(r[:7000], a[:7000])
+        np.testing.assert_array_equal(r[8280:], a[8280:])
+        assert np.iscomplexobj(np.asarray(spec))
+
+    def test_no_oracle_dependence(self, speech_like):
+        """The restored gap must depend only on the GAPPED waveform: two
+        clean signals identical outside the gap produce identical
+        reconstructions (an oracle leak would differentiate them)."""
+        cfg = phase_cfg()
+        model = build_model(cfg)
+        state = create_cnn_state(cfg, jax.random.PRNGKey(0))
+        variables = {"params": state.params, "batch_stats": state.batch_stats}
+        fn = make_cnn_phase_inpaint_fn(cfg, model)
+        a1 = np.array(speech_like[:16000])
+        a2 = a1.copy()
+        a2[7000:8280] = np.random.default_rng(1).standard_normal(1280) * 0.1
+        gs, gl = jnp.asarray([7000]), jnp.asarray([1280])
+        r1, _ = fn(variables, jnp.asarray(a1)[None], gs, gl)
+        r2, _ = fn(variables, jnp.asarray(a2)[None], gs, gl)
+        np.testing.assert_array_equal(
+            np.asarray(r1[0])[7000:8280], np.asarray(r2[0])[7000:8280]
+        )
+
+
+class TestPhaseModeCLI:
+    def test_train_cli_smoke(self, tmp_path):
+        from test_cli import small_cfg_yaml
+
+        from ml_audio_inpainting_tpu.cli.train import main
+
+        cfg_path = small_cfg_yaml(tmp_path, "cnn_blstm")
+        main([
+            "--model", "cnn_blstm", "--phase-mode", "--synthetic", "4",
+            "--steps", "2", "--batch-size", "2", "--epochs", "1",
+            "--base-dir", str(tmp_path), "--run-name", "p",
+            "--config", str(cfg_path),
+        ])
+
+    def test_phase_mode_rejects_gan(self, tmp_path):
+        import pytest
+
+        from ml_audio_inpainting_tpu.cli.train import main
+
+        with pytest.raises(SystemExit, match="cnn_blstm only"):
+            main([
+                "--model", "gan", "--phase-mode", "--synthetic", "2",
+                "--steps", "1", "--base-dir", str(tmp_path),
+            ])
