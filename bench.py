@@ -495,6 +495,28 @@ def main() -> None:
             note="60 s clip, 3x80 ms gaps, 5 s windows + Hann OLA, reuses the canonical compiled program",
         )
 
+        # Long-form with every round-5 lever (VERDICT r4 #5): right-sized
+        # model batch (the 3-gap case needs 6 windows, not a 32-pad), the
+        # fused scatter+OLA+composite+slice epilogue, and the gap-only
+        # PCM16 fetch (3 patches, ~12 KB, vs the 3.84 MB f32 waveform).
+        def _long_gap():
+            p, s = longform_inpaint(
+                fn_enh, variables, long_audio, lg_starts, lg_lens,
+                window=80000, hop=40000, batch_size=8, pad_batches=True,
+                gap_fetch=2048,
+            )
+            np.asarray(s)
+            return p
+
+        _long_gap()  # compile the (8, 80000) program + epilogue
+        dt_long_gap = _measure(_long_gap, iters=5)
+        emit(
+            "longform_gap_pcm16_audio_seconds_per_sec",
+            long_s / dt_long_gap,
+            "s_audio/s/chip",
+            note="batch-8 right-sized windows + fused epilogue + gap-only int16 patch fetch",
+        )
+
     if run_serving and not run_all:
         return
 
@@ -532,6 +554,34 @@ def main() -> None:
         cfn = make_cnn_inpaint_fn(ccfg, cmodel)
         dt = _measure(lambda: cfn(cvars, audio, gap_start, gap_len)[0], iters=10)
         emit("cnn_blstm_inference_audio_seconds_per_sec", batch * clip_s / dt, "s_audio/s/chip")
+
+        # CNN long-form line (VERDICT r4 #5: the longform table was
+        # GAN-only): same 60 s / 3-gap condition and levers as the GAN
+        # gap-fetch line above.
+        from ml_audio_inpainting_tpu.data.dataset import SyntheticSpeechDataset as _SDS
+        from ml_audio_inpainting_tpu.runtime.longform import (
+            longform_inpaint as _lf,
+        )
+
+        _la = jnp.asarray(np.asarray(_SDS(n_items=1, max_len_s=60.0)[0]))
+        _lgs, _lgl = np.asarray([200000, 480000, 760000]), np.full(3, 1280)
+
+        def _cnn_long():
+            p, s = _lf(
+                cfn, cvars, _la, _lgs, _lgl, window=80000, hop=40000,
+                batch_size=8, pad_batches=True, gap_fetch=2048,
+            )
+            np.asarray(s)
+            return p
+
+        _cnn_long()  # compile
+        dt = _measure(_cnn_long, iters=5)
+        emit(
+            "longform_cnn_gap_pcm16_audio_seconds_per_sec",
+            60.0 / dt,
+            "s_audio/s/chip",
+            note="CNN family: 60 s clip, 3x80 ms gaps, batch-8 windows + fused epilogue + gap patch fetch",
+        )
 
         # BASELINE config #3: classical AR (gap-wise Janssen) inference.
         tmask = jax.vmap(lambda s, l: gap_mask(audio.shape[-1], s, l))(gap_start, gap_len)

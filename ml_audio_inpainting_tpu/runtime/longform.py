@@ -67,8 +67,7 @@ def _scatter(windows: jnp.ndarray, sel: jnp.ndarray, restored: jnp.ndarray):
     return windows.at[sel].set(restored[: sel.shape[0]])
 
 
-@functools.partial(jax.jit, static_argnums=(1, 2))
-def _ola(windows: jnp.ndarray, hop: int, length: int) -> jnp.ndarray:
+def _ola_impl(windows: jnp.ndarray, hop: int, length: int) -> jnp.ndarray:
     n, w = windows.shape
     win = jnp.asarray(np.hanning(w) + 1e-3)  # strictly positive weights
     total = (n - 1) * hop + w
@@ -76,6 +75,42 @@ def _ola(windows: jnp.ndarray, hop: int, length: int) -> jnp.ndarray:
     num = jnp.zeros((total,)).at[idx.reshape(-1)].add((windows * win).reshape(-1))
     den = jnp.zeros((total,)).at[idx.reshape(-1)].add(jnp.tile(win, n))
     return (num / den)[:length]
+
+
+@functools.partial(jax.jit, static_argnums=(1, 2))
+def _ola(windows: jnp.ndarray, hop: int, length: int) -> jnp.ndarray:
+    return _ola_impl(windows, hop, length)
+
+
+@functools.partial(jax.jit, static_argnums=(6, 7, 8))
+def _finalize_patches(
+    windows, sel, restored, audio, gap_starts, gap_lens, hop, length, patch_window
+):
+    """Fused long-form epilogue, ONE compiled program: fold the final model
+    batch into the window stack, Hann-OLA, time-composite against the
+    original signal (exact outside the gaps -- the compositing contract of
+    SURVEY.md §2.7 extended to long-form), then slice one PCM16 patch per
+    gap.  Replaces the separate scatter + OLA dispatches AND shrinks the
+    fetch from the full waveform (f32, e.g. 3.84 MB at 60 s) to
+    ``n_gaps * patch_window`` int16 bytes -- the long-form analogue of
+    ``runtime/transport.py``."""
+    from ml_audio_inpainting_tpu.ops import gaps as gap_ops
+    from ml_audio_inpainting_tpu.ops.pcm import to_pcm16
+
+    w = windows
+    if sel.shape[0] > 0:  # static shape: python-level branch is fine
+        w = w.at[sel].set(restored[: sel.shape[0]])
+    ola = _ola_impl(w, hop, length)
+    masks = jax.vmap(
+        lambda s, l: gap_ops.gap_mask(length, s, l, dtype=audio.dtype)
+    )(gap_starts, gap_lens)
+    valid = jnp.min(masks, axis=0)
+    out = audio[:length] * valid + ola * (1.0 - valid)
+    starts = jnp.clip(gap_starts, 0, length - patch_window).astype(jnp.int32)
+    patches = jax.vmap(
+        lambda s: jax.lax.dynamic_slice(out, (s,), (patch_window,))
+    )(starts)
+    return to_pcm16(patches), starts
 
 
 def overlap_add(
@@ -95,6 +130,7 @@ def longform_inpaint(
     hop: int = 40000,
     batch_size: int = 16,
     pad_batches: bool = False,
+    gap_fetch: int | None = None,
 ) -> jnp.ndarray:
     """Inpaint one or more gaps in audio of any length with a fixed-window
     model.
@@ -115,6 +151,16 @@ def longform_inpaint(
     ONE compiled ``(batch_size, window)`` program -- set ``batch_size`` to a
     shape you have already compiled (e.g. the serving batch) for
     compile-free long-form serving.
+
+    ``gap_fetch``: when set (a patch window in samples, >= the largest
+    gap), the return value becomes ``(patches, starts)`` -- one
+    ``(n_gaps, gap_fetch)`` int16 PCM patch per gap plus its offset,
+    produced by a single fused epilogue program (final scatter + OLA +
+    time-composite + slice + quantize, ``_finalize_patches``).  The
+    composite makes the delivered signal EXACTLY the input outside the
+    gaps, so these patches are the only bytes a client needs
+    (``runtime/transport.py`` semantics; recombine with
+    ``transport.composite_gap_patches_1d``).
     """
     gap_starts = np.atleast_1d(np.asarray(gap_start, dtype=np.int64))
     gap_lens = np.atleast_1d(np.asarray(gap_len, dtype=np.int64))
@@ -146,6 +192,7 @@ def longform_inpaint(
             rounds.append([it])
 
     out_windows = windows
+    pending = None  # last (sel, restored): folded into the fused epilogue
     for r in rounds:
         for i in range(0, len(r), batch_size):
             chunk = r[i : i + batch_size]
@@ -156,6 +203,8 @@ def longform_inpaint(
             if npad > 0:
                 ls = np.concatenate([ls, np.zeros(npad, np.int64)])
                 le = np.concatenate([le, np.zeros(npad, np.int64)])
+            if pending is not None:  # flush the previous call's scatter
+                out_windows = _scatter(out_windows, pending[0], pending[1])
             bw = _gather_pad(out_windows, jnp.asarray(sel, jnp.int32), npad)
             restored, _ = inpaint_fn(
                 variables,
@@ -163,8 +212,18 @@ def longform_inpaint(
                 jnp.asarray(ls, jnp.int32),
                 jnp.asarray(np.maximum(le - ls, 0), jnp.int32),
             )
-            out_windows = _scatter(
-                out_windows, jnp.asarray(sel, jnp.int32), restored
-            )
+            pending = (jnp.asarray(sel, jnp.int32), restored)
 
+    if gap_fetch is not None:
+        sel_p, restored_p = pending if pending is not None else (
+            jnp.zeros((0,), jnp.int32), jnp.zeros((0, window), audio.dtype)
+        )
+        return _finalize_patches(
+            out_windows, sel_p, restored_p, audio,
+            jnp.asarray(gap_starts, jnp.int32), jnp.asarray(gap_lens, jnp.int32),
+            hop, t, gap_fetch,
+        )
+
+    if pending is not None:
+        out_windows = _scatter(out_windows, pending[0], pending[1])
     return overlap_add(out_windows, hop, t)

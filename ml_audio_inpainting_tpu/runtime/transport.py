@@ -47,6 +47,7 @@ from ml_audio_inpainting_tpu.ops.pcm import to_pcm16
 __all__ = [
     "make_gap_transport_fn",
     "composite_gap_patch",
+    "composite_gap_patches_1d",
     "DEFAULT_PATCH_WINDOW",
 ]
 
@@ -114,4 +115,21 @@ def composite_gap_patch(
     for b in range(out.shape[0]):
         s = int(start[b])
         out[b, s : s + w] = patch[b]
+    return out
+
+
+def composite_gap_patches_1d(
+    audio_pcm16: np.ndarray, patches: np.ndarray, starts: np.ndarray
+) -> np.ndarray:
+    """Client-side composite for the LONG-FORM gap transport: write each of
+    ``n_gaps`` patches into a single PCM16 signal (the payload of
+    ``runtime.longform.longform_inpaint(..., gap_fetch=...)``).
+
+    Overlapping patch windows (nearby gaps) are consistent by construction
+    -- every patch is a slice of the same composited device signal.
+    """
+    out = np.array(audio_pcm16, copy=True)
+    for patch, s in zip(np.asarray(patches), np.asarray(starts)):
+        s = int(s)
+        out[s : s + patch.shape[-1]] = patch
     return out

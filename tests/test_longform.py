@@ -79,6 +79,56 @@ class TestLongformInpaint:
             np.asarray(multi[:40000]), np.asarray(x[:40000]), atol=1e-5
         )
 
+    def test_gap_fetch_patches(self, speech_like):
+        """gap_fetch: the PCM16 patches + client composite reproduce the
+        composited full waveform (exact outside gaps by construction,
+        within one LSB of the recomputed reference inside)."""
+        from ml_audio_inpainting_tpu.ops.gaps import gap_mask
+        from ml_audio_inpainting_tpu.ops.pcm import to_pcm16
+        from ml_audio_inpainting_tpu.runtime.transport import (
+            composite_gap_patches_1d,
+        )
+
+        def fake_fn(variables, audio, gs, gl):
+            idx = jnp.arange(audio.shape[-1])[None, :]
+            in_gap = (idx >= gs[:, None]) & (idx < (gs + gl)[:, None])
+            return jnp.where(in_gap, 0.25 + 0.5 * audio, audio), None
+
+        x = jnp.asarray(np.tile(speech_like, 3))  # 15 s signal
+        starts, lens = [60000, 200000], [1280, 640]
+        patches, pstarts = longform_inpaint(
+            fake_fn, None, x, starts, lens,
+            window=80000, hop=40000, gap_fetch=2048,
+        )
+        assert np.asarray(patches).dtype == np.int16
+        assert patches.shape == (2, 2048)
+        client = composite_gap_patches_1d(
+            np.asarray(to_pcm16(x)), patches, pstarts
+        )
+        # Recomputed reference: OLA of the full path + the same composite.
+        ola = longform_inpaint(
+            fake_fn, None, x, starts, lens, window=80000, hop=40000
+        )
+        masks = jax.vmap(
+            lambda s, l: gap_mask(x.shape[-1], s, l)
+        )(jnp.asarray(starts), jnp.asarray(lens))
+        valid = np.asarray(jnp.min(masks, axis=0))
+        ref = np.asarray(to_pcm16(np.asarray(x) * valid + np.asarray(ola) * (1 - valid)))
+        # Outside every patch window: exact (client composite keeps input,
+        # and ref == input there by the composite + OLA identity).
+        outside = np.ones(x.shape[-1], bool)
+        for s in np.asarray(pstarts):
+            outside[int(s) : int(s) + 2048] = False
+        np.testing.assert_array_equal(client[outside], ref[outside])
+        # Inside: same value up to one int16 LSB (separately-compiled OLA
+        # programs may round differently).
+        assert np.max(np.abs(client.astype(np.int32) - ref.astype(np.int32))) <= 1
+        # ... and the gaps were actually modified.
+        for s, l in zip(starts, lens):
+            assert not np.array_equal(
+                client[s : s + l], np.asarray(to_pcm16(x))[s : s + l]
+            )
+
     def test_pad_batches_fixed_shape_and_equivalence(self, speech_like):
         """pad_batches=True: every model call has exactly (batch_size,
         window) shape (compile-free serving against one compiled program)

@@ -114,6 +114,29 @@ class TestGapTransport:
             client, _full_fetch_reference(fn, variables, audio, gs, gl)
         )
 
+    def test_sharded_gap_transport_matches_single_device(self, speech_like):
+        """The gap transport composes with DP serving: sharding the batch
+        over the mesh yields byte-identical patches/starts (int16/int32 --
+        exact equality, no tolerance)."""
+        from ml_audio_inpainting_tpu.parallel.mesh import make_mesh
+        from ml_audio_inpainting_tpu.runtime.inference import (
+            make_sharded_serving_fn,
+        )
+
+        fn, variables = self._gan(mode="enhanced")
+        tfn = make_gap_transport_fn(fn, window=WINDOW)
+        B, S = 8, 16000
+        audio = jnp.asarray(
+            np.stack([speech_like[i * 500 : i * 500 + S] for i in range(B)])
+        )
+        gs = jnp.asarray(np.linspace(2000, 10000, B).astype(np.int32))
+        gl = jnp.full((B,), 1280, jnp.int32)
+        patch1, start1 = tfn(variables, audio, gs, gl)
+        sharded = make_sharded_serving_fn(tfn, make_mesh())
+        patch8, start8 = sharded(variables, audio, gs, gl)
+        np.testing.assert_array_equal(np.asarray(patch8), np.asarray(patch1))
+        np.testing.assert_array_equal(np.asarray(start8), np.asarray(start1))
+
     def test_window_exceeding_clip_raises(self, speech_like):
         fn, variables = self._gan(mode="enhanced")
         audio = jnp.asarray(speech_like[:16000])[None, :]
