@@ -517,6 +517,32 @@ def main() -> None:
             note="batch-8 right-sized windows + fused epilogue + gap-only int16 patch fetch",
         )
 
+        # Fully-fused centered path: ONE compiled program (window gather +
+        # model + composite + patch slice) and one tiny fetch per call --
+        # the measured decomposition showed the OLA grid's chunk/gather/
+        # scatter stages are ~1 dispatch RTT each and half its model work
+        # feeds samples the composite discards
+        # (results/longform_decomposition.json).
+        from ml_audio_inpainting_tpu.runtime.longform import (
+            longform_inpaint_centered,
+        )
+
+        def _long_centered():
+            p, s = longform_inpaint_centered(
+                fn_enh, variables, long_audio, lg_starts, lg_lens,
+                window=80000, batch_size=8,
+            )
+            return p
+
+        _long_centered()  # compile
+        dt_long_c = _measure(_long_centered, iters=5)
+        emit(
+            "longform_centered_gap_pcm16_audio_seconds_per_sec",
+            long_s / dt_long_c,
+            "s_audio/s/chip",
+            note="single fused program: gap-centered windows + composite + patch fetch",
+        )
+
     if run_serving and not run_all:
         return
 

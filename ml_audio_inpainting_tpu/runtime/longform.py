@@ -22,7 +22,13 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-__all__ = ["chunk_signal", "overlap_add", "longform_inpaint"]
+__all__ = [
+    "chunk_signal",
+    "overlap_add",
+    "longform_inpaint",
+    "make_centered_gap_fn",
+    "longform_inpaint_centered",
+]
 
 # The chunk/scatter/OLA helpers are jitted with static geometry: on the
 # tunneled axon platform every eager op is a ~30 ms round trip, and the
@@ -118,6 +124,115 @@ def overlap_add(
 ) -> jnp.ndarray:
     """Hann-weighted OLA of ``(n, window)`` back to ``(length,)``."""
     return _ola(windows, int(hop), int(length))
+
+
+def make_centered_gap_fn(
+    inpaint_fn: Callable, window: int, batch: int, patch_window: int = 2048
+) -> Callable:
+    """ONE compiled program for long-form gap serving: slice a gap-centered
+    ``window`` per gap out of the long waveform, inpaint the batch,
+    composite (exact outside the gaps), and extract PCM16 patches -- fused
+    window gather + model + epilogue, a single dispatch and a
+    ``batch * patch_window`` int16 fetch.
+
+    This supersedes the OLA path for well-separated gaps: the round-5
+    composite means only the gap interiors ever come from the model, so
+    blending two half-overlapping windows per gap (the OLA grid) does
+    double the model work for bytes that are discarded -- one CENTERED
+    window per gap both halves the compute and gives each gap the best
+    context placement (mid-window, like the 5 s serving path).  Measured
+    decomposition that motivated it: results/longform_decomposition.json
+    (the chunk/gather/scatter/OLA stages are ~1 dispatch RTT each on the
+    tunneled link).
+
+    Returns ``fn(variables, audio (T,), gap_start (batch,), gap_len
+    (batch,)) -> (patches (batch, patch_window) int16, starts (batch,)
+    int32)`` with ``starts`` in LONG-signal coordinates.  Pad unused batch
+    slots with zero-length gaps.  Contract: each gap's centered window
+    must contain no other gap (use :func:`longform_inpaint_centered`,
+    which validates spacing and falls back-friendly raises otherwise).
+    """
+
+    @jax.jit
+    def fn(variables, audio: jnp.ndarray, gap_start: jnp.ndarray, gap_len: jnp.ndarray):
+        from ml_audio_inpainting_tpu.ops import gaps as gap_ops
+        from ml_audio_inpainting_tpu.ops.pcm import to_pcm16
+
+        t = audio.shape[-1]
+        if window > t:
+            raise ValueError(f"window {window} exceeds signal length {t}")
+        center = gap_start + gap_len // 2
+        wstart = jnp.clip(center - window // 2, 0, t - window).astype(jnp.int32)
+        wins = jax.vmap(
+            lambda s: jax.lax.dynamic_slice(audio, (s,), (window,))
+        )(wstart)
+        local_gs = (gap_start - wstart).astype(jnp.int32)
+        restored, _ = inpaint_fn(variables, wins, local_gs, gap_len)
+        masks = jax.vmap(
+            lambda s, l: gap_ops.gap_mask(window, s, l, dtype=audio.dtype)
+        )(local_gs, gap_len)
+        composited = wins * masks + restored * (1.0 - masks)
+        pstart = jnp.clip(local_gs, 0, window - patch_window)
+        patches = jax.vmap(
+            lambda r, s: jax.lax.dynamic_slice(r, (s,), (patch_window,))
+        )(composited, pstart)
+        return to_pcm16(patches), (wstart + pstart).astype(jnp.int32)
+
+    return fn
+
+
+def longform_inpaint_centered(
+    inpaint_fn: Callable,
+    variables,
+    audio: jnp.ndarray,
+    gap_start,
+    gap_len,
+    window: int = 80000,
+    batch_size: int = 8,
+    patch_window: int = 2048,
+    _fn_cache: dict = {},
+):
+    """Drive :func:`make_centered_gap_fn` over arbitrarily many gaps.
+
+    Validates the spacing contract (each gap's centered window contains no
+    other gap -- raises ``ValueError`` otherwise; use
+    :func:`longform_inpaint` for pathological clusters), pads each group
+    of ``batch_size`` gaps with zero-length dummies so every call hits the
+    same compiled ``(batch_size, window)`` program, and returns
+    ``(patches (n_gaps, patch_window) int16, starts (n_gaps,) int32)``.
+    Recombine with ``transport.composite_gap_patches_1d``.
+    """
+    gs = np.atleast_1d(np.asarray(gap_start, np.int64))
+    gl = np.atleast_1d(np.asarray(gap_len, np.int64))
+    t = int(audio.shape[-1])
+    order = np.argsort(gs)
+    s_sorted, l_sorted = gs[order], gl[order]
+    for i in range(len(s_sorted) - 1):
+        if s_sorted[i + 1] - (s_sorted[i] + l_sorted[i]) < window:
+            raise ValueError(
+                "centered long-form path requires gap spacing >= window "
+                f"({window} samples); gaps at {int(s_sorted[i])} and "
+                f"{int(s_sorted[i + 1])} are closer -- use longform_inpaint"
+            )
+    key = (id(inpaint_fn), window, batch_size, patch_window)
+    fn = _fn_cache.get(key)
+    if fn is None:
+        fn = make_centered_gap_fn(
+            inpaint_fn, window, batch_size, patch_window=patch_window
+        )
+        _fn_cache[key] = fn
+    patches, starts = [], []
+    for i in range(0, len(gs), batch_size):
+        bs = np.zeros(batch_size, np.int64)
+        bl = np.zeros(batch_size, np.int64)
+        n = len(gs[i : i + batch_size])
+        bs[:n], bl[:n] = gs[i : i + n], gl[i : i + n]
+        p, s = fn(
+            variables, audio, jnp.asarray(bs, jnp.int32), jnp.asarray(bl, jnp.int32)
+        )
+        patches.append(np.asarray(p)[:n])
+        starts.append(np.asarray(s)[:n])
+    return np.concatenate(patches), np.concatenate(starts)
 
 
 def longform_inpaint(

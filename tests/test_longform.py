@@ -129,6 +129,87 @@ class TestLongformInpaint:
                 client[s : s + l], np.asarray(to_pcm16(x))[s : s + l]
             )
 
+    def test_centered_path_coords_and_exactness(self, speech_like):
+        """Centered single-program path: window placement, long-signal
+        coordinates, and the composite contract, validated against a
+        hand-computed reference with a deterministic fake model."""
+        from ml_audio_inpainting_tpu.ops.pcm import to_pcm16
+        from ml_audio_inpainting_tpu.runtime.longform import (
+            longform_inpaint_centered,
+        )
+        from ml_audio_inpainting_tpu.runtime.transport import (
+            composite_gap_patches_1d,
+        )
+
+        def fake_fn(variables, audio, gs, gl):
+            idx = jnp.arange(audio.shape[-1])[None, :]
+            in_gap = (idx >= gs[:, None]) & (idx < (gs + gl)[:, None])
+            return jnp.where(in_gap, 0.25 + 0.5 * audio, audio), None
+
+        x = jnp.asarray(np.tile(speech_like, 3))  # 15 s
+        starts, lens = [30000, 150000, 238000], [1280, 640, 1900]
+        patches, pstarts = longform_inpaint_centered(
+            fake_fn, None, x, starts, lens, window=80000, batch_size=4,
+        )
+        assert patches.shape == (3, 2048) and patches.dtype == np.int16
+        client = composite_gap_patches_1d(np.asarray(to_pcm16(x)), patches, pstarts)
+        # Hand-computed expected: the fake model writes 0.25 + 0.5*x inside
+        # each gap (x = the window's sample values; the fake does not zero
+        # the gap itself) and the composite keeps x elsewhere.
+        expected = np.asarray(x).copy()
+        for s, l in zip(starts, lens):
+            expected[s : s + l] = 0.25 + 0.5 * expected[s : s + l]
+        np.testing.assert_array_equal(client, np.asarray(to_pcm16(expected)))
+
+    def test_centered_path_rejects_clustered_gaps(self, speech_like):
+        from ml_audio_inpainting_tpu.runtime.longform import (
+            longform_inpaint_centered,
+        )
+
+        import pytest
+
+        x = jnp.asarray(np.tile(speech_like, 3))
+        with pytest.raises(ValueError, match="spacing"):
+            longform_inpaint_centered(
+                lambda v, a, s, l: (a, None), None, x,
+                [60000, 100000], [1280, 1280], window=80000,
+            )
+
+    def test_centered_path_real_model_edge_gap(self, speech_like):
+        """Real (untrained) GAN program through the fused path; a gap near
+        the signal start exercises the window clipping."""
+        import jax as _jax
+
+        from ml_audio_inpainting_tpu.runtime.inference import make_gan_inpaint_fn
+        from ml_audio_inpainting_tpu.runtime.longform import (
+            longform_inpaint_centered,
+        )
+        from ml_audio_inpainting_tpu.train.gan_trainer import build_generator
+        from ml_audio_inpainting_tpu.utils.config import Config, SpectrogramConfig
+
+        cfg = Config()
+        cfg.data.spectrogram = SpectrogramConfig(n_fft=512, hop_length=128, win_length=512)
+        cfg.data.max_len_s = 1.0
+        cfg.model.generator.enc_layer_cfg = [(8, 7, 2), (16, 5, 2), (16, 3, 2)]
+        cfg.model.generator.dec_layer_cfg = [(16, 3, 1), (8, 3, 1)]
+        cfg.model.generator.final_interim_ch = 8
+        gen = build_generator(cfg)
+        F, T = 257, 16000 // 128 + 1
+        variables = gen.init(
+            _jax.random.PRNGKey(0), jnp.zeros((1, F, T)), jnp.ones((1, F, T)),
+            train=False,
+        )
+        fn = make_gan_inpaint_fn(cfg, gen, mode="enhanced")
+        x = jnp.asarray(np.tile(speech_like, 2))  # 10 s
+        patches, pstarts = longform_inpaint_centered(
+            fn, variables, x, [2000, 100000], [1280, 1280],
+            window=16000, batch_size=2,
+        )
+        assert np.all(np.isfinite(patches.astype(np.float32)))
+        # each patch window contains its whole gap
+        for (s, l), ps in zip([(2000, 1280), (100000, 1280)], pstarts):
+            assert ps <= s and ps + 2048 >= s + l
+
     def test_pad_batches_fixed_shape_and_equivalence(self, speech_like):
         """pad_batches=True: every model call has exactly (batch_size,
         window) shape (compile-free serving against one compiled program)
