@@ -25,14 +25,20 @@ These tables hard-code exactly those measured winners so
 ``--ar-preset tuned`` deploys them without re-running the probe.  The
 arinpaint boundaries are midpoints between MEASURED conditions — round 4
 probed the routing boundaries themselves (60/120/240 ms,
-``results/ar_tuned_gl0.{06,12,24}.json``, folded into
-``ar_tuned_per_length.json``), so the grid is now
-40/60/80/120/160/240/320/500 ms:
+``results/ar_tuned_gl0.{06,12,24}.json``) and round 5 probed the 80 ms
+band's own edges (70/100 ms, ``ar_tuned_gl0.{07,10}.json``; VERDICT r4
+#7), all folded into ``ar_tuned_per_length.json``, so the grid is now
+40/60/70/80/100/120/160/240/320/500 ms:
 
 * **60 ms**: the 40 ms config is near-oracle (3.649 vs oracle 3.663,
-  defaults 3.577) — the 40 ms band extends to the 60/80 midpoint 0.07.
-* **120 ms**: the 80 ms config REGRESSES below defaults (2.711 vs 2.881)
-  — the 80 ms band now ends at the 80/120 midpoint 0.10 (was 0.12).
+  defaults 3.577).
+* **70 ms** (round 5): the 40 ms config IS the grid's eval-oracle (3.412)
+  vs the 80 ms config's 3.234 and defaults' 3.134 — the 80 ms band's lower
+  edge is the 70/80 midpoint 0.075.
+* **100 ms** (round 5): the 80 ms config already regresses below defaults
+  (2.965 vs 3.076; the 40 ms config matches at 3.066) — the band's upper
+  edge is the 80/100 midpoint 0.09 (was 0.10, a 80/120 interpolation).
+* **120 ms**: the 80 ms config REGRESSES below defaults (2.711 vs 2.881).
 * **240 ms**: defaults score 2.634 with a real +0.29 dB eval-oracle gap
   (ctx 4096 / order 512 / sigmoid:2 = 2.921).  The 10-position probe
   cannot rank the full 30-config grid at long gaps (spearman 0.13; 60/120
@@ -70,8 +76,15 @@ def tuned_arinpaint_preset(gap_len_s: float) -> dict:
     ``ar_blend``, ``ar_blend_param``); empty where the measured winner is
     the default configuration (>= 160 ms).
     """
-    if 0.07 < gap_len_s <= 0.10:
-        # The 80 ms probe champion; regresses below defaults by 120 ms.
+    if 0.075 < gap_len_s <= 0.09:
+        # The 80 ms probe champion.  Round-5 band-edge probes (VERDICT r4
+        # #7, results/ar_tuned_gl0.{07,10}.json) MEASURED both edges: at
+        # 70 ms the 40 ms config is the grid's eval-oracle (3.412 vs this
+        # config's 3.234), and at 100 ms this config already regresses
+        # below the defaults (2.965 vs 3.076) while the 40 ms config
+        # matches them (3.066).  The band is therefore pinched to
+        # (0.075, 0.09] -- midpoints of the measured 70/80 and 80/100 ms
+        # conditions, both edges now one measured point away.
         return {
             "ar_order": 512,
             "ar_context": 8192,

@@ -51,16 +51,21 @@ class TestPresetTables:
         assert tuned_arinpaint_preset(0.24) == expect
         assert tuned_arinpaint_preset(0.5) == expect
 
-    def test_round4_boundary_routing(self):
-        """Round-4 measured boundary probes pin the routing midpoints:
-        60 ms -> the 40 ms config (near-oracle there, 3.649 vs defaults
-        3.577); 100 ms is the last length routed to the 80 ms config
-        (which regresses below defaults at 120 ms, 2.711 vs 2.881)."""
+    def test_boundary_routing(self):
+        """Round-4/5 measured boundary probes pin the routing: 60 and
+        70 ms -> the 40 ms config (near-oracle at both: 3.649 @ 60,
+        3.412 = the grid oracle @ 70 vs the 80 ms config's 3.234 --
+        ar_tuned_gl0.07.json); the 80 ms config holds only its own
+        measured point (at 100 ms it already regresses below defaults,
+        2.965 vs 3.076 -- ar_tuned_gl0.10.json; at 120 ms 2.711 vs
+        2.881).  Band = (0.075, 0.09], midpoints of measured lengths."""
         assert tuned_arinpaint_preset(0.06)["ar_context"] == 4096
         assert tuned_arinpaint_preset(0.07)["ar_context"] == 4096
+        assert tuned_arinpaint_preset(0.075)["ar_context"] == 4096
         assert tuned_arinpaint_preset(0.08)["ar_context"] == 8192
-        assert tuned_arinpaint_preset(0.10)["ar_context"] == 8192
-        assert tuned_arinpaint_preset(0.101)["ar_context"] == 4096
+        assert tuned_arinpaint_preset(0.09)["ar_context"] == 8192
+        assert tuned_arinpaint_preset(0.10)["ar_context"] == 4096
+        assert tuned_arinpaint_preset(0.12)["ar_context"] == 4096
 
     def test_janssen_short_champion(self):
         assert tuned_janssen_preset(0.08) == {"ar_context": 8192, "maxit": 5}
