@@ -23,8 +23,9 @@ import numpy as np
 def build_argparser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(description="Evaluate inpainting models")
     p.add_argument("--models", nargs="+", required=True,
-                   help="any of: gan cnn_blstm refiner janssen arinpaint "
-                        "segmentation aspain sspain sspain_omp")
+                   help="any of: gan cnn_blstm cnn_phase cnn_phase_anchored "
+                        "refiner janssen arinpaint segmentation aspain "
+                        "sspain sspain_omp")
     p.add_argument("--gan-checkpoint", type=str,
                    default="results/checkpoints/gan_formant_v2_r2.npz",
                    help="GAN weights npz for the refiner model")
@@ -354,11 +355,11 @@ def main(argv=None) -> None:
 
     if args.adapt_steps > 0 and args.n_gaps > 1:
         raise SystemExit("--adapt-steps has no multi-gap eval path yet")
-    if args.n_gaps > 1 and "cnn_phase" in args.models:
+    if args.n_gaps > 1 and {"cnn_phase", "cnn_phase_anchored"} & set(args.models):
         # The sequential per-gap fallback feeds a neural model the other
         # gaps' zeros as signal (scores ~0 -- CLAUDE.md); cnn_phase has no
         # mask-driven multi-gap path yet.
-        raise SystemExit("--models cnn_phase supports single-gap eval only")
+        raise SystemExit("--models cnn_phase[_anchored] supports single-gap eval only")
 
     results = {}
     adapt_info: dict = {}

@@ -31,7 +31,8 @@ CLASSICAL = (
 def build_argparser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(description="Inpaint gapped audio")
     p.add_argument("--model", required=True,
-                   choices=["gan", "cnn_blstm", "cnn_phase", "refiner", *CLASSICAL])
+                   choices=["gan", "cnn_blstm", "cnn_phase",
+                            "cnn_phase_anchored", "refiner", *CLASSICAL])
     p.add_argument("--gan-checkpoint", type=str,
                    default="results/checkpoints/gan_formant_v2_r2.npz",
                    help="GAN weights npz for --model refiner (the head rides "
@@ -288,7 +289,7 @@ def _build_runner(args, cfg, n_samples: int):
 
         return runner
 
-    if args.model in ("gan", "cnn_blstm", "cnn_phase"):
+    if args.model in ("gan", "cnn_blstm", "cnn_phase", "cnn_phase_anchored"):
         from ml_audio_inpainting_tpu.runtime.inference import (
             make_cnn_inpaint_fn,
             make_cnn_phase_inpaint_fn,
@@ -342,7 +343,7 @@ def _build_runner(args, cfg, n_samples: int):
                 create_cnn_state,
             )
 
-            if args.model == "cnn_phase":
+            if args.model in ("cnn_phase", "cnn_phase_anchored"):
                 # Complex 2-channel pipeline: model predicts magnitude AND
                 # phase, so no --phase regime applies (deployable by
                 # construction).  Reference trained but never served this
@@ -380,8 +381,11 @@ def _build_runner(args, cfg, n_samples: int):
                 variables = {"params": state.params}
                 if state.batch_stats is not None:
                     variables["batch_stats"] = state.batch_stats
-            if args.model == "cnn_phase":
-                fn = make_cnn_phase_inpaint_fn(cfg, model)
+            if args.model in ("cnn_phase", "cnn_phase_anchored"):
+                fn = make_cnn_phase_inpaint_fn(
+                    cfg, model,
+                    anchored=(args.model == "cnn_phase_anchored"),
+                )
             else:
                 fn = make_cnn_inpaint_fn(cfg, model,
                                          phase=args.phase, gl_iters=args.gl_iters)

@@ -115,6 +115,15 @@ def build_argparser() -> argparse.ArgumentParser:
                         "magnitude AND phase, so serving needs no phase "
                         "regime: it is deployable by construction "
                         "(runtime.inference.make_cnn_phase_inpaint_fn)")
+    p.add_argument("--phase-anchor", action="store_true",
+                   help="with --phase-mode: rotate the complex target by "
+                        "the deployable phase-vocoder anchor "
+                        "(ops/phase.extrapolate_phase) so complex L1 is "
+                        "well-posed -- the round-5 fix for the measured "
+                        "median collapse (results/cnn_phase_r5_eval.json); "
+                        "serve the checkpoint with "
+                        "make_cnn_phase_inpaint_fn(..., anchored=True) / "
+                        "--models cnn_phase_anchored")
     p.add_argument("--remat", action="store_true",
                    help="rematerialize the GAN step's network forwards "
                         "(jax.checkpoint): backward recomputes activations "
@@ -178,6 +187,8 @@ def main(argv=None) -> None:
         raise SystemExit("--remat is supported for --model gan only")
     if args.phase_mode and args.model != "cnn_blstm":
         raise SystemExit("--phase-mode is supported for --model cnn_blstm only")
+    if args.phase_anchor and not args.phase_mode:
+        raise SystemExit("--phase-anchor requires --phase-mode")
     cfg = load_config(args.config) if args.config else Config()
     if args.phase_mode:
         cfg.model.cnn_blstm.in_channels = 2
@@ -438,7 +449,7 @@ def main(argv=None) -> None:
         step_fn = make_sharded_step(
             make_cnn_train_step(
                 cfg, ema=args.ema, compute_dtype=cnn_compute_dtype,
-                phase_mode=args.phase_mode,
+                phase_mode=args.phase_mode, phase_anchor=args.phase_anchor,
             ),
             state,
             mesh,
@@ -447,7 +458,9 @@ def main(argv=None) -> None:
         if args.valid_every:
             from ml_audio_inpainting_tpu.train.cnn_trainer import make_cnn_eval_step
 
-            eval_fn = make_cnn_eval_step(cfg, phase_mode=args.phase_mode)
+            eval_fn = make_cnn_eval_step(
+                cfg, phase_mode=args.phase_mode, phase_anchor=args.phase_anchor
+            )
 
         probe_fn = None
         if probe_clips is not None:
@@ -458,7 +471,9 @@ def main(argv=None) -> None:
             from ml_audio_inpainting_tpu.train.cnn_trainer import build_model
 
             probe_fn = (
-                make_cnn_phase_inpaint_fn(cfg, build_model(cfg))
+                make_cnn_phase_inpaint_fn(
+                    cfg, build_model(cfg), anchored=args.phase_anchor
+                )
                 if args.phase_mode
                 else make_cnn_inpaint_fn(cfg, build_model(cfg))
             )

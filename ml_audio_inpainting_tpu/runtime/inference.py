@@ -346,7 +346,7 @@ def make_cnn_inpaint_mask_fn(
     return fn
 
 
-def make_cnn_phase_inpaint_fn(cfg: Config, model) -> Callable:
+def make_cnn_phase_inpaint_fn(cfg: Config, model, anchored: bool = False) -> Callable:
     """Jitted inference for the phase-mode (complex 2-channel) CNNBLSTM.
 
     The model consumes stacked (real, imag) channels of the gapped
@@ -360,6 +360,14 @@ def make_cnn_phase_inpaint_fn(cfg: Config, model) -> Callable:
     contract (predicted complex frames inside the gap, the input's frames
     elsewhere; final time-domain composite keeps every sample outside the
     gap untouched).
+
+    ``anchored``: serve a checkpoint trained with the anchor-rotated target
+    (``train/features.cnn_phase_features(anchored=True)``, the round-5 fix
+    for the complex-L1 median collapse): the model's output lives in the
+    frame rotated by the phase-vocoder anchor, so multiply it back by
+    ``exp(+i * phi_anchor)`` before compositing.  The anchor here is
+    computed exactly as in training -- from the gapped waveform's STFT on
+    window-clear frames -- still no oracle anywhere.
     """
     spec_cfg = cfg.data.spectrogram
 
@@ -386,8 +394,17 @@ def make_cnn_phase_inpaint_fn(cfg: Config, model) -> Callable:
 
         gmask = jax.vmap(frame_gap_mask)(gap_start, gap_len)
         x = jnp.stack([jnp.real(spec_gap), jnp.imag(spec_gap)], axis=-1)
-        pred = model.apply(variables, x, train=False)  # (B, F, N, 2)
+        pred = model.apply(variables, x, train=False)  # (B, F, T, 2)
         pred_c = pred[..., 0] + 1j * pred[..., 1]
+        if anchored:
+            clear = window_clear_frame_mask(
+                tmask, N, spec_cfg.hop_length, spec_cfg.n_fft,
+                win_length=spec_cfg.win_length,
+            )
+            phi_a = extrapolate_phase(
+                jnp.angle(spec_gap), clear, spec_cfg.hop_length, spec_cfg.n_fft
+            )
+            pred_c = pred_c * jnp.exp(1j * phi_a)
         composited = pred_c * gmask + spec_gap * (1.0 - gmask)
         rec = istft(composited, length=n_samples, **kw)
         restored = audio * tmask + rec * (1.0 - tmask)

@@ -83,12 +83,14 @@ def create_cnn_state(cfg: Config, rng: jax.Array, ema: float = 0.0) -> CNNTrainS
     )
 
 
-def _feature_fn(cfg: Config, phase_mode: bool = False):
+def _feature_fn(cfg: Config, phase_mode: bool = False, phase_anchor: bool = False):
     def fn(audio, key):
         if phase_mode:
             # Complex 2-channel pipeline (cnn_phase_features); single-gap
             # corruption only -- the reference's phase dataloader had no
             # multi-gap variant (old/dataloader_phase.py:88-97).
+            # phase_anchor: anchor-rotated target (the round-5 fix for the
+            # complex-L1 median collapse; see cnn_phase_features).
             return features.cnn_phase_features(
                 audio,
                 key,
@@ -97,6 +99,7 @@ def _feature_fn(cfg: Config, phase_mode: bool = False):
                 sample_rate=cfg.data.sample_rate,
                 n_samples=cfg.data.max_samples,
                 gaps_per_audio=cfg.data.gaps_per_audio,
+                anchored=phase_anchor,
             )
         return features.cnn_features(
             audio,
@@ -113,7 +116,8 @@ def _feature_fn(cfg: Config, phase_mode: bool = False):
 
 
 def make_cnn_train_step(
-    cfg: Config, ema: float = 0.0, compute_dtype=None, phase_mode: bool = False
+    cfg: Config, ema: float = 0.0, compute_dtype=None, phase_mode: bool = False,
+    phase_anchor: bool = False,
 ) -> Callable[[CNNTrainState, jnp.ndarray, jax.Array], Tuple[CNNTrainState, Dict]]:
     """Build the jitted train step: gaps -> STFTs -> forward -> L1 -> Adam.
 
@@ -134,8 +138,10 @@ def make_cnn_train_step(
     ``phase_mode``: train the complex 2-channel pipeline (the reference's
     ``old/train_v2_phase.py:87-92`` recipe): stacked (real, imag) STFT
     channels in, complex L1 on the gap out.  Requires
-    ``cfg.model.cnn_blstm.in_channels == 2``."""
-    feat = _feature_fn(cfg, phase_mode=phase_mode)
+    ``cfg.model.cnn_blstm.in_channels == 2``.  ``phase_anchor`` rotates the
+    complex target by the deployable phase-vocoder anchor (see
+    ``features.cnn_phase_features``) so the L1 regression is well-posed."""
+    feat = _feature_fn(cfg, phase_mode=phase_mode, phase_anchor=phase_anchor)
     cast = (
         (lambda tr: cast_floating(tr, compute_dtype))
         if compute_dtype is not None
@@ -181,10 +187,10 @@ def make_cnn_train_step(
 
 
 def make_cnn_eval_step(
-    cfg: Config, phase_mode: bool = False
+    cfg: Config, phase_mode: bool = False, phase_anchor: bool = False
 ) -> Callable[[CNNTrainState, jnp.ndarray, jax.Array], Dict]:
     """Jitted validation step (``models/CNNBLSTM/train.py:128-150``)."""
-    feat = _feature_fn(cfg, phase_mode=phase_mode)
+    feat = _feature_fn(cfg, phase_mode=phase_mode, phase_anchor=phase_anchor)
 
     @jax.jit
     def step(state: CNNTrainState, audio: jnp.ndarray, key: jax.Array):

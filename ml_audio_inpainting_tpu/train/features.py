@@ -190,7 +190,10 @@ def cnn_features(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("spec", "gap_len_s", "sample_rate", "n_samples", "gaps_per_audio"),
+    static_argnames=(
+        "spec", "gap_len_s", "sample_rate", "n_samples", "gaps_per_audio",
+        "anchored",
+    ),
 )
 def cnn_phase_features(
     audio: jnp.ndarray,
@@ -200,16 +203,43 @@ def cnn_phase_features(
     sample_rate: int = 16000,
     n_samples: int = 80000,
     gaps_per_audio: int = 1,
+    anchored: bool = False,
 ) -> Dict[str, jnp.ndarray]:
     """Phase-mode features: stacked (real, imag) channels of the raw
     (un-normalized) complex STFT (reference
     ``models/CNNBLSTM/old/dataloader_phase.py:88-97``).
 
+    ``anchored=True`` is the round-5 fix for the measured complex-L1
+    collapse (``results/cnn_phase_r5_eval.json``): under plain complex L1
+    the gap phase is nearly uniform given the input, so the loss-optimal
+    point estimate is ~0 and the model learns to predict silence.  The
+    anchored variant rotates the TARGET by the phase-vocoder extrapolation
+    of the gap phase (``ops/phase.extrapolate_phase``, the same deployable
+    estimator the magnitude models use at serving):
+    ``target_rot = STFT(clean) * exp(-i * phi_anchor)``.  In the rotated
+    frame a correct anchor maps the target onto the positive real axis, so
+    the conditional distribution concentrates and L1 regression is
+    well-posed; the model now learns magnitude AND a phase *correction*
+    relative to a deployable estimate (inference multiplies the prediction
+    back by ``exp(+i * phi_anchor)`` -- ``make_cnn_phase_inpaint_fn``).
+    The anchor is computed from the GAPPED waveform's STFT restricted to
+    window-clear frames (``window_clear_frame_mask``) exactly as at
+    serving: no oracle anywhere, train/test identical.
+
     Returns:
       spec_gap    (B*G, F, N, 2)  real/imag of STFT(gapped)
       gap_mask    (B*G, F, N)     1 = gap
-      target      (B*G, F, N)     complex STFT(clean)
+      target      (B*G, F, N)     complex STFT(clean), anchor-rotated when
+                  ``anchored`` (identical outside the gap frames only up to
+                  the anchor's pass-through: valid frames keep phi_anchor =
+                  measured phase there, so rotation cancels in the loss,
+                  which is gap-masked anyway)
     """
+    from ml_audio_inpainting_tpu.ops.phase import (
+        extrapolate_phase,
+        window_clear_frame_mask,
+    )
+
     B = audio.shape[0]
     G = gaps_per_audio
     keys = jax.random.split(key, B * G).reshape(B, G, -1)
@@ -230,14 +260,30 @@ def cnn_phase_features(
         t = jnp.arange(n_time)
         hole = (t >= s // spec.hop_length) & (t < e // spec.hop_length)
         gmask = jnp.broadcast_to(jnp.where(hole, 1.0, 0.0)[None, :], (n_freq, n_time))
-        return jnp.stack([jnp.real(sg), jnp.imag(sg)], axis=-1), gmask
+        if anchored:
+            clear = window_clear_frame_mask(
+                mask[None, :], n_time, spec.hop_length, spec.n_fft,
+                win_length=spec.win_length,
+            )
+            phi_a = extrapolate_phase(
+                jnp.angle(sg)[None], clear, spec.hop_length, spec.n_fft
+            )[0]
+        else:
+            phi_a = jnp.zeros((n_freq, n_time), sg.real.dtype)
+        return jnp.stack([jnp.real(sg), jnp.imag(sg)], axis=-1), gmask, phi_a
 
-    spec_gap, gmask = jax.vmap(
+    spec_gap, gmask, phi_a = jax.vmap(
         lambda clip, ks: jax.vmap(lambda k: per_variant(clip, k))(ks)
     )(audio, keys)
+
+    target = jnp.repeat(spec_clean, G, axis=0)
+    if anchored:
+        target = target * jnp.exp(
+            -1j * phi_a.reshape(B * G, n_freq, n_time)
+        )
 
     return {
         "spec_gap": spec_gap.reshape(B * G, n_freq, n_time, 2),
         "gap_mask": gmask.reshape(B * G, n_freq, n_time),
-        "target": jnp.repeat(spec_clean, G, axis=0),
+        "target": target,
     }
