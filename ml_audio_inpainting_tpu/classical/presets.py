@@ -51,17 +51,19 @@ band's own edges (70/100 ms, ``ar_tuned_gl0.{07,10}.json``; VERDICT r4
   not selection): +0.29/+0.07/+0.004/+0.06/+0.25/−0.066/+0.007 vs
   defaults — mean +0.09 dB, worst case −0.07 at 320 ms.
 
-Janssen (round-4 240 ms grid, ``results/janssen_tuned_gl0.24.json``):
-unlike arinpaint, the 10-position probe ranks the Janssen grid reliably at
-EVERY measured length (80/160/240 ms), and at 240 ms it selects context
-16384 / maxit 5 — eval 1.124 vs the defaults' 0.797 (+0.33 dB; the
-160 ms champion 8192/5 scores 1.062 there).  The tuned bands are
-therefore: ≤ 0.2 s → context 8192 / maxit 5 (80–160 ms champion);
-0.2–0.28 s (midpoint to the unmeasured 320 ms) → context 16384 /
-maxit 5; past 0.28 s → defaults (no grid).  Note the consistent
-maxit-5-over-10 pattern: extra Janssen iterations HURT eval SDR at every
-measured length.  All presets are calibrated on the SINGLE-gap eval
-condition.
+Janssen (round-4 240 ms grid + round-5 edge grids,
+``results/janssen_tuned_gl0.{20,24,28}.json``): at 240 ms the probe
+selects context 16384 / maxit 5 — eval 1.124 vs the defaults' 0.797
+(+0.33 dB).  Round 5 measured the band edges: 200 ms → ctx 16384 is
+decisively best on eval (2.582 vs 8192/5's 2.010; NOTE the probe's top-2
+margin mis-orders this one — see ``tuned_janssen_preset``), 280 ms →
+ctx 16384 wins and the probe selects it (2.207 vs 2.165).  Tuned bands:
+≤ 0.18 s → context 8192 / maxit 5 (80–160 ms champion); 0.18–0.30 s →
+context 16384 / maxit 5 (200/240/280 ms champion; edges are midpoints of
+measured lengths); past 0.30 s → defaults (no grid).  Note the
+consistent maxit-5-over-10 pattern: extra Janssen iterations HURT eval
+SDR at every measured length (now five of five).  All presets are
+calibrated on the SINGLE-gap eval condition.
 """
 
 from __future__ import annotations
@@ -109,11 +111,19 @@ def tuned_janssen_preset(gap_len_s: float) -> dict:
 
     The 10-position probe selects context 8192 / maxit 5 at both measured
     short conditions (80 ms: +2.46 eval — the grid's oracle; 160 ms: +2.54,
-    within 0.04 dB of oracle).  Past 160 ms no per-condition Janssen grid
-    was run; the preset conservatively keeps the defaults there.
+    within 0.04 dB of oracle).  Round-5 band-edge grids (VERDICT r4 #7,
+    ``results/janssen_tuned_gl0.{20,28}.json``) measured the long-context
+    band's edges: at 200 ms ctx 16384 is decisively best on eval (2.582 vs
+    8192's 2.010) — though the probe's top-2 margin there (0.734 vs 0.702)
+    mis-orders it, the one measured point where the janssen probe ranking
+    fails — and at 280 ms ctx 16384 still wins (2.207, probe-selected
+    correctly).  The 16384 band therefore runs from the 160/200 midpoint
+    0.18 to the 280/320 midpoint 0.30 (was 0.2–0.28, both edges
+    interpolations).  maxit 5 beats 10 at every one of the five measured
+    lengths.  Past 0.30 s no grid was run; defaults stand.
     """
-    if gap_len_s <= 0.2:
+    if gap_len_s <= 0.18:
         return {"ar_context": 8192, "maxit": 5}
-    if gap_len_s <= 0.28:  # round-4 240 ms probe winner (+0.33 dB vs defaults)
+    if gap_len_s <= 0.30:
         return {"ar_context": 16384, "maxit": 5}
     return {}

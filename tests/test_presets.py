@@ -70,9 +70,19 @@ class TestPresetTables:
     def test_janssen_short_champion(self):
         assert tuned_janssen_preset(0.08) == {"ar_context": 8192, "maxit": 5}
         assert tuned_janssen_preset(0.16) == {"ar_context": 8192, "maxit": 5}
-        # Round-4 240 ms probe winner band (janssen_tuned_gl0.24.json:
-        # probe ranks the janssen grid reliably; 1.124 vs defaults 0.797).
-        assert tuned_janssen_preset(0.24) == {"ar_context": 16384, "maxit": 5}
+        assert tuned_janssen_preset(0.18) == {"ar_context": 8192, "maxit": 5}
+
+    def test_janssen_long_context_band(self):
+        """Round-4 240 ms winner + round-5 measured edges
+        (janssen_tuned_gl0.{20,28}.json): ctx 16384/maxit 5 wins on eval
+        at 200 ms (2.582 vs 8192's 2.010), 240 ms (1.124 vs defaults
+        0.797) and 280 ms (2.207 vs 2.165) -> band (0.18, 0.30],
+        midpoints of measured lengths."""
+        expect = {"ar_context": 16384, "maxit": 5}
+        assert tuned_janssen_preset(0.20) == expect
+        assert tuned_janssen_preset(0.24) == expect
+        assert tuned_janssen_preset(0.28) == expect
+        assert tuned_janssen_preset(0.30) == expect
         assert tuned_janssen_preset(0.32) == {}
 
 
