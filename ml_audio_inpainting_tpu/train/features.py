@@ -260,30 +260,31 @@ def cnn_phase_features(
         t = jnp.arange(n_time)
         hole = (t >= s // spec.hop_length) & (t < e // spec.hop_length)
         gmask = jnp.broadcast_to(jnp.where(hole, 1.0, 0.0)[None, :], (n_freq, n_time))
-        if anchored:
-            clear = window_clear_frame_mask(
-                mask[None, :], n_time, spec.hop_length, spec.n_fft,
-                win_length=spec.win_length,
-            )
-            phi_a = extrapolate_phase(
-                jnp.angle(sg)[None], clear, spec.hop_length, spec.n_fft
-            )[0]
-        else:
-            phi_a = jnp.zeros((n_freq, n_time), sg.real.dtype)
-        return jnp.stack([jnp.real(sg), jnp.imag(sg)], axis=-1), gmask, phi_a
+        return jnp.stack([jnp.real(sg), jnp.imag(sg)], axis=-1), gmask, mask
 
-    spec_gap, gmask, phi_a = jax.vmap(
+    spec_gap, gmask, smask = jax.vmap(
         lambda clip, ks: jax.vmap(lambda k: per_variant(clip, k))(ks)
     )(audio, keys)
 
+    spec_gap = spec_gap.reshape(B * G, n_freq, n_time, 2)
     target = jnp.repeat(spec_clean, G, axis=0)
     if anchored:
-        target = target * jnp.exp(
-            -1j * phi_a.reshape(B * G, n_freq, n_time)
+        # One batched anchor computation over all B*G variants (the
+        # associative scans inside extrapolate_phase are natively batched;
+        # keeping them out of the nested vmap keeps the traced program
+        # small).
+        clear = window_clear_frame_mask(
+            smask.reshape(B * G, -1), n_time, spec.hop_length, spec.n_fft,
+            win_length=spec.win_length,
         )
+        phase_gap = jnp.arctan2(spec_gap[..., 1], spec_gap[..., 0])
+        phi_a = extrapolate_phase(
+            phase_gap, clear, spec.hop_length, spec.n_fft
+        )
+        target = target * jnp.exp(-1j * phi_a)
 
     return {
-        "spec_gap": spec_gap.reshape(B * G, n_freq, n_time, 2),
+        "spec_gap": spec_gap,
         "gap_mask": gmask.reshape(B * G, n_freq, n_time),
         "target": target,
     }
