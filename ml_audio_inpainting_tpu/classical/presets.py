@@ -119,11 +119,17 @@ def tuned_janssen_preset(gap_len_s: float) -> dict:
     fails — and at 280 ms ctx 16384 still wins (2.207, probe-selected
     correctly).  The 16384 band therefore runs from the 160/200 midpoint
     0.18 to the 280/320 midpoint 0.30 (was 0.2–0.28, both edges
-    interpolations).  maxit 5 beats 10 at every one of the five measured
-    lengths.  Past 0.30 s no grid was run; defaults stand.
+    interpolations).  A 320 ms grid (``janssen_tuned_gl0.32.json``) then
+    extended the band again: ctx 16384 wins by **+0.79 dB** over the
+    defaults there (1.973 vs 1.188; probe-selected correctly, and the
+    only measured length where maxit 10 is not worse — 1.976, within
+    noise), so the band runs to the 320/500 midpoint 0.41 (the same
+    midpoint-to-the-next-sweep-length convention round 4 used).  maxit 5
+    beats 10 at five of six measured lengths and ties the sixth.  Past
+    0.41 s no grid was run; defaults stand.
     """
     if gap_len_s <= 0.18:
         return {"ar_context": 8192, "maxit": 5}
-    if gap_len_s <= 0.30:
+    if gap_len_s <= 0.41:
         return {"ar_context": 16384, "maxit": 5}
     return {}

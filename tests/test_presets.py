@@ -83,7 +83,13 @@ class TestPresetTables:
         assert tuned_janssen_preset(0.24) == expect
         assert tuned_janssen_preset(0.28) == expect
         assert tuned_janssen_preset(0.30) == expect
-        assert tuned_janssen_preset(0.32) == {}
+        # 320 ms grid (janssen_tuned_gl0.32.json): 16384 wins +0.79 dB
+        # over defaults (1.973 vs 1.188) -> band extends to the 320/500
+        # midpoint 0.41.
+        assert tuned_janssen_preset(0.32) == expect
+        assert tuned_janssen_preset(0.41) == expect
+        assert tuned_janssen_preset(0.42) == {}
+        assert tuned_janssen_preset(0.50) == {}
 
 
 def _cli_args(model: str, gap_len: float, preset: str) -> argparse.Namespace:
@@ -129,9 +135,16 @@ class TestRunnerPlumbing:
         assert args.ar_order == 512 and args.ar_blend == "cos2"
 
     def test_tuned_leaves_long_gap_args_alone(self):
+        # Past the last measured grid length (0.41 band edge after the
+        # round-5 320 ms grid) the tuned preset must not touch the args.
         from ml_audio_inpainting_tpu.cli.inpaint import _build_runner
         from ml_audio_inpainting_tpu.utils.config import Config
 
-        args = _cli_args("janssen", 0.32, "tuned")
+        args = _cli_args("janssen", 0.5, "tuned")
         _build_runner(args, Config(), n_samples=16000)
         assert args.maxit == 10 and args.ar_context == 4096
+
+        # And inside the band it overrides (320 ms: +0.79 dB measured win).
+        args = _cli_args("janssen", 0.32, "tuned")
+        _build_runner(args, Config(), n_samples=16000)
+        assert args.maxit == 5 and args.ar_context == 16384
